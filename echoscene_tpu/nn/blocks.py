@@ -1,0 +1,155 @@
+"""Shared UNet building blocks (timestep embedding, norm, res blocks, resampling).
+
+Behavioral reference: /root/reference/model/networks/diffusion_shape/
+openai_model_3d.py:100-314 and ldm_diffusion_util.py:174-273.  Everything here
+is channel-LAST (TPU-native: NHWC / NDHWC / NLC), unlike the torch reference's
+channel-first layout — convolutions then map directly onto XLA's preferred
+layouts and the MXU.
+
+Spatial-rank convention: `x` is (B, *spatial, C) with spatial rank 1, 2 or 3.
+The 3D UNet resamples only the inner two spatial dims (matching
+openai_model_3d.py:149-155, 188: stride (1,2,2)); the 1D path resamples
+nothing (denoise_net.py:154 interpolates with scale_factor=1 — the layout
+token keeps length 1).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal embeddings, cos-first ordering (ldm_diffusion_util.py:174-194).
+
+    timesteps: (B,) int or float -> (B, dim) float32.
+    """
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) *
+                    jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in float32 (ldm_diffusion_util.py:222-239)."""
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon,
+                         dtype=jnp.float32)(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+def zero_init_conv(features: int, kernel: Sequence[int], **kw) -> nn.Conv:
+    """Conv whose weights AND bias start at zero (zero_module, util:197-203)."""
+    return nn.Conv(features, kernel_size=tuple(kernel),
+                   kernel_init=nn.initializers.zeros,
+                   bias_init=nn.initializers.zeros, **kw)
+
+
+def _conv(features: int, spatial_rank: int, stride=1, kernel: int = 3,
+          zero: bool = False, dtype=None) -> nn.Conv:
+    ks = (kernel,) * spatial_rank
+    strides = stride if isinstance(stride, tuple) else (stride,) * spatial_rank
+    init = {}
+    if zero:
+        init = dict(kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros)
+    return nn.Conv(features, kernel_size=ks, strides=strides,
+                   padding=[(kernel // 2, kernel // 2)] * spatial_rank,
+                   dtype=dtype, **init)
+
+
+class Upsample(nn.Module):
+    """Nearest-2x upsample of the inner two dims (3D) / identity (1D) + conv.
+
+    3D: openai_model_3d.py:148-157 — (D, H, W) -> (D, 2H, 2W).
+    1D: denoise_net.py:147-157 — interpolate(scale_factor=1) is identity.
+    """
+    channels: int
+    spatial_rank: int
+    use_conv: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.spatial_rank == 3:
+            b, d, h, w, c = x.shape
+            x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+        elif self.spatial_rank == 2:
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        # rank 1: identity (reference quirk, denoise_net.py:154)
+        if self.use_conv:
+            x = _conv(self.channels, self.spatial_rank, dtype=self.dtype)(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Strided conv downsample; 3D strides only the inner two dims.
+
+    openai_model_3d.py:173-199: stride (1,2,2) for 3D, 2 otherwise.
+    """
+    channels: int
+    spatial_rank: int
+    use_conv: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.spatial_rank == 3:
+            stride: Tuple[int, ...] = (1, 2, 2)
+        else:
+            stride = (2,) * self.spatial_rank
+        if self.use_conv:
+            return _conv(self.channels, self.spatial_rank, stride=stride,
+                         dtype=self.dtype)(x)
+        return nn.avg_pool(x, window_shape=stride, strides=stride)
+
+
+class ResBlock(nn.Module):
+    """GN-SiLU-conv / time-emb add / GN-SiLU-zeroconv + skip (openai_model_3d.py:202-314)."""
+    channels: int
+    out_channels: Optional[int] = None
+    spatial_rank: int = 3
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, emb, *, deterministic: bool = True):
+        out_ch = self.out_channels or self.channels
+        h = GroupNorm32()(x)
+        h = nn.silu(h)
+        h = _conv(out_ch, self.spatial_rank, dtype=self.dtype)(h)
+
+        emb_out = nn.Dense(2 * out_ch if self.use_scale_shift_norm else out_ch,
+                           dtype=self.dtype)(nn.silu(emb))
+        emb_out = emb_out.reshape(emb_out.shape[0],
+                                  *(1,) * self.spatial_rank, emb_out.shape[-1])
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32()(h) * (1 + scale) + shift
+            h = nn.silu(h)
+        else:
+            h = h + emb_out
+            h = GroupNorm32()(h)
+            h = nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = _conv(out_ch, self.spatial_rank, zero=True, dtype=self.dtype)(h)
+
+        if out_ch == self.channels:
+            skip = x
+        else:
+            skip = _conv(out_ch, self.spatial_rank, kernel=1, dtype=self.dtype)(x)
+        return skip + h
