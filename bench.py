@@ -1,0 +1,58 @@
+"""Benchmark: full dual-branch scene generation throughput on one chip.
+
+Measures the north-star metric (BASELINE.json): scenes/sec for COMPLETE scene
+generation — 1000-step layout DDPM chain + 100-step shape DDIM chain (echo
+GCN inside every denoising step of both) + VQ-VAE decode to 64^3 SDF grids —
+at flagship model dimensions.
+
+The reference never measured throughput (its timing code is commented out,
+train_3dfront.py:283-285).  `vs_baseline` is measured against a reference-cost
+model derived from its sampling structure: 1100 host-driven denoiser
+dispatches per scene batch at a conservative 10 ms/step GPU dispatch+compute
+plus VQ decode -> ~0.09 scenes/sec for an 8-scene batch.  See BASELINE.md.
+
+Prints exactly one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_SCENES_PER_SEC = 0.09 * 8  # scenes/sec for an 8-scene batch
+
+
+def main():
+    import jax
+    from __graft_entry__ import _flagship
+
+    batch_scenes = 8
+    sg, state, batch = _flagship(max_nodes=64, max_triples=128,
+                                 diffusion_bs=8, batch_scenes=batch_scenes)
+
+    sample = jax.jit(
+        lambda p, bs, b, k: sg.sample_fn(p, bs, b, k, gen_shape=True))
+
+    # compile + warm up
+    out = sample(state.params, state.batch_stats, batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = sample(state.params, state.batch_stats, batch,
+                     jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    scenes_per_sec = batch_scenes / dt
+    print(json.dumps({
+        "metric": "scenes/sec (full generation: 1000-step layout DDPM + "
+                  "100-step shape DDIM + VQ decode, 8-scene batch)",
+        "value": round(scenes_per_sec, 4),
+        "unit": "scenes/sec",
+        "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,12 +65,14 @@ class ShapeSelection:
     EchoScene.py:290-308).  Everything downstream masks with
     `arange(capacity) < num_valid`.
     """
-    sdf: jnp.ndarray         # f32[M, 1, R, R, R] clamped SDF grids for node slots [0, M)
-    num_valid: jnp.ndarray   # i32[] scalar prefix length (<= M)
+    sdf: Optional[jnp.ndarray]       # f32[M, R, R, R, 1] clamped SDF grids (channel-last)
+    num_valid: jnp.ndarray           # i32[] scalar prefix length (<= M)
+    latent: Optional[jnp.ndarray] = None  # f32[M, r, r, r, z] precomputed VQ latents
 
     @property
     def capacity(self) -> int:
-        return self.sdf.shape[0]
+        src = self.sdf if self.sdf is not None else self.latent
+        return src.shape[0]
 
     def mask(self) -> jnp.ndarray:
         return (jnp.arange(self.capacity) < self.num_valid).astype(jnp.float32)

@@ -1,0 +1,198 @@
+"""Layout-branch Gaussian diffusion: training losses + scanned ancestral sampling.
+
+Behavioral reference: /root/reference/model/networks/diffusion_layout/
+diffusion_ddpm.py:118-632.  Semantics preserved:
+  * angle -> (sin, cos) preprocessing inside the loss (p_losses :488-489),
+  * ONE shared timestep per scene, not per object (get_loss_iter :600-603),
+  * eps- and x0-parameterisations, fixedsmall/fixedlarge variances,
+  * per-component (size/trans/angle) MSE diagnostics (diffusion_loss :451-477),
+  * optional axis-aligned IoU collision loss weighted by alpha_cumprod
+    (IoU_loss :384-426), masked to same-scene off-diagonal pairs,
+  * ancestral sampling loop (p_sample_loop_sg :330-345) — but as ONE
+    `lax.scan` over the full chain instead of 1000 host round-trips.
+
+The denoise function is passed in as a closure `eps_fn(x_t, t) -> eps` that
+already captures the graph context (obj embeddings, triples, masks); this file
+is pure diffusion math.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.schedules import DiffusionTables
+from ..core.boxes import angle_to_sincos, descale_box_params, sincos_to_angle
+
+
+def _extract(table: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Gather per-timestep coefficients, broadcast to `ndim` dims."""
+    out = table[t]
+    return out.reshape(out.shape[0], *((1,) * (ndim - 1)))
+
+
+def masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if mask is None:
+        return jnp.mean(x)
+    return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+class LayoutDiffusion:
+    """Stateless layout DDPM over (N, 8) box vectors."""
+
+    def __init__(self, tables: DiffusionTables,
+                 model_mean_type: str = "eps",
+                 model_var_type: str = "fixedsmall",
+                 size_dim: int = 3, translation_dim: int = 3, angle_dim: int = 2,
+                 loss_iou: bool = False,
+                 iou_stats: Optional[jnp.ndarray] = None):
+        import dataclasses
+        self.t = dataclasses.replace(tables, **{
+            f.name: jnp.asarray(getattr(tables, f.name))
+            for f in dataclasses.fields(tables)})
+        self.num_timesteps = tables.num_timesteps
+        self.model_mean_type = model_mean_type
+        self.model_var_type = model_var_type
+        self.size_dim = size_dim
+        self.translation_dim = translation_dim
+        self.angle_dim = angle_dim
+        self.bbox_dim = size_dim + translation_dim + angle_dim
+        self.loss_iou = loss_iou
+        self.iou_stats = iou_stats
+        self._fixedlarge_logvar = jnp.asarray(tables.fixedlarge_log_variance())
+
+    # --- forward process -------------------------------------------------
+    def q_sample(self, x0: jnp.ndarray, t: jnp.ndarray,
+                 noise: jnp.ndarray) -> jnp.ndarray:
+        return (_extract(self.t.sqrt_alphas_cumprod, t, x0.ndim) * x0 +
+                _extract(self.t.sqrt_one_minus_alphas_cumprod, t, x0.ndim) * noise)
+
+    def predict_xstart_from_eps(self, x_t, t, eps):
+        return (_extract(self.t.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t -
+                _extract(self.t.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * eps)
+
+    def q_posterior_mean(self, x0, x_t, t):
+        return (_extract(self.t.posterior_mean_coef1, t, x_t.ndim) * x0 +
+                _extract(self.t.posterior_mean_coef2, t, x_t.ndim) * x_t)
+
+    def model_log_variance(self, t, ndim):
+        if self.model_var_type == "fixedsmall":
+            return _extract(self.t.posterior_log_variance_clipped, t, ndim)
+        if self.model_var_type == "fixedlarge":
+            return _extract(self._fixedlarge_logvar, t, ndim)
+        raise NotImplementedError(self.model_var_type)
+
+    # --- training --------------------------------------------------------
+    def scene_shared_timesteps(self, rng: jax.Array, obj_to_scene: jnp.ndarray,
+                               num_scenes: int) -> jnp.ndarray:
+        """Per-scene t gathered to objects (get_loss_iter :600-603).
+
+        obj_to_scene may contain `num_scenes` for padded rows -> extra slot.
+        """
+        t_scene = jax.random.randint(rng, (num_scenes + 1,), 0, self.num_timesteps)
+        return t_scene[obj_to_scene]
+
+    def p_losses(self, denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+                 boxes7: jnp.ndarray, t: jnp.ndarray, rng: jax.Array,
+                 obj_mask: Optional[jnp.ndarray] = None,
+                 same_scene: Optional[jnp.ndarray] = None,
+                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """boxes7: (N, 7) scaled boxes with raw angle; returns (loss, diag dict)."""
+        x0 = jnp.concatenate(
+            [boxes7[:, :6], angle_to_sincos(boxes7[:, 6:7])], axis=-1)
+        noise = jax.random.normal(rng, x0.shape, x0.dtype)
+        x_t = self.q_sample(x0, t, noise)
+        target = noise if self.model_mean_type == "eps" else x0
+        out = denoise_fn(x_t, t)
+
+        sd, td = self.size_dim, self.translation_dim
+        per_obj = lambda a: jnp.mean(a, axis=-1)
+        sq = (target - out) ** 2
+        loss_size = masked_mean(per_obj(sq[:, :sd]), obj_mask)
+        loss_trans = masked_mean(per_obj(sq[:, sd:sd + td]), obj_mask)
+        loss_angle = masked_mean(per_obj(sq[:, sd + td:self.bbox_dim]), obj_mask)
+        loss_bbox = masked_mean(per_obj(sq[:, :self.bbox_dim]), obj_mask)
+        losses = masked_mean(per_obj(sq), obj_mask)
+
+        loss_iou = jnp.zeros(())
+        mean_iou = jnp.zeros(())
+        if self.loss_iou:
+            loss_iou, mean_iou = self.iou_loss(x_t, t, out, same_scene, obj_mask)
+        total = losses + loss_iou
+        return total, {
+            "loss.bbox": loss_bbox, "loss.trans": loss_trans,
+            "loss.size": loss_size, "loss.angle": loss_angle,
+            "loss.liou": loss_iou, "loss.bbox_iou": mean_iou,
+        }
+
+    def iou_loss(self, x_t, t, pred, same_scene, obj_mask):
+        """Axis-aligned IoU collision penalty (diffusion_ddpm.py:384-426).
+
+        Descale the predicted boxes to world units, compute pairwise
+        axis-aligned IoU between same-scene boxes, weight by alpha_cumprod(t).
+        """
+        if self.model_mean_type == "eps":
+            x_recon = self.predict_xstart_from_eps(x_t, t, pred)
+        else:
+            x_recon = pred
+        assert self.iou_stats is not None, "loss_iou requires box stats"
+        boxes = descale_box_params(x_recon[:, :6], self.iou_stats)
+        size, center = boxes[:, :3], boxes[:, 3:6]
+        lo = center - size / 2.0
+        hi = center + size / 2.0
+        inter_lo = jnp.maximum(lo[:, None, :], lo[None, :, :])
+        inter_hi = jnp.minimum(hi[:, None, :], hi[None, :, :])
+        inter = jnp.prod(jnp.clip(inter_hi - inter_lo, 0.0, None), axis=-1)
+        vol = jnp.prod(jnp.clip(hi - lo, 0.0, None), axis=-1)
+        union = vol[:, None] + vol[None, :] - inter
+        iou = inter / jnp.maximum(union, 1e-8)
+        iou = jnp.nan_to_num(iou)
+        w = self.t.alphas_cumprod[t][:, None]
+        pair_mask = same_scene if same_scene is not None else 1.0
+        num = jnp.maximum(jnp.sum(pair_mask), 1.0)
+        liou = jnp.sum(w * 0.5 * (iou + 1e-6) * pair_mask) / num
+        mean_iou = jnp.sum(iou * pair_mask) / num
+        return liou, mean_iou
+
+    # --- sampling --------------------------------------------------------
+    def sample_chain(self, denoise_fn, shape: Tuple[int, ...], rng: jax.Array,
+                     clip_denoised: bool = False) -> jnp.ndarray:
+        """Full T-step ancestral sampling as one lax.scan.
+
+        denoise_fn(x_t, t_vec) -> model output (eps or x0 depending on
+        parameterisation).  Matches p_sample_loop_sg (:330-345).
+        """
+        rng, init_rng = jax.random.split(rng)
+        x_T = jax.random.normal(init_rng, shape)
+
+        def step(carry, t_scalar):
+            x, key = carry
+            key, nkey = jax.random.split(key)
+            t_vec = jnp.full((shape[0],), t_scalar, jnp.int32)
+            out = denoise_fn(x, t_vec)
+            if self.model_mean_type == "eps":
+                x_recon = self.predict_xstart_from_eps(x, t_vec, out)
+            else:
+                x_recon = out
+            if clip_denoised:
+                x_recon = jnp.clip(x_recon, -1.0, 1.0)
+            mean = self.q_posterior_mean(x_recon, x, t_vec)
+            logvar = self.model_log_variance(t_vec, x.ndim)
+            noise = jax.random.normal(nkey, x.shape, x.dtype)
+            nonzero = (t_scalar > 0).astype(x.dtype)
+            x_next = mean + nonzero * jnp.exp(0.5 * logvar) * noise
+            return (x_next, key), None
+
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        (x0, _), _ = jax.lax.scan(step, (x_T, rng), ts)
+        return x0
+
+    @staticmethod
+    def split_sample(vec8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """(N, 8) -> sizes/translations/angles dict (echo2layout.py:120-124)."""
+        return {
+            "sizes": vec8[:, 0:3],
+            "translations": vec8[:, 3:6],
+            "angles": sincos_to_angle(vec8[:, 6:8]),
+        }

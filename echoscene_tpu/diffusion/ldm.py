@@ -1,0 +1,121 @@
+"""Shape-branch latent diffusion: LDM losses + scanned DDIM sampling.
+
+Behavioral reference: /root/reference/model/networks/diffusion_shape/
+echo2shape.py:149-331 (schedule registration, p_losses) and samplers/
+ddim.py:127-262 (DDIM loop).  Semantics preserved:
+  * eps parameterisation, l_simple weight 1, elbo weight 0 (vlb only logged),
+  * per-OBJECT timesteps at train time (echo2shape.py:359),
+  * DDIM single-conditioned pass: the reference's live branch
+    (ddim.py:207-217) calls apply_model(x, UNCOND_embed, triples, t, COND)
+    once per step — classifier-free mixing is disabled; the uncond embedding
+    feeds the echo GCN and the cond feeds (the overridden) cross-attention,
+  * shared-initial-noise consistency sampling (rel2shape, echo2shape.py:508-510):
+    one noise grid repeated over all objects of a scene batch.
+
+The DDIM loop is a `lax.scan` over precomputed (t, alpha, alpha_prev, sigma)
+rows — 100 steps in one XLA computation.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.schedules import DiffusionTables, DDIMTables, ddim_timesteps, ddim_tables
+from .ddpm import _extract, masked_mean
+
+
+class ShapeDiffusion:
+    """Stateless LDM math over (M, D, H, W, C) latents."""
+
+    def __init__(self, tables: DiffusionTables, parameterization: str = "eps",
+                 l_simple_weight: float = 1.0, original_elbo_weight: float = 0.0):
+        self.np_tables = tables
+        self.t = dataclasses.replace(tables, **{
+            f.name: jnp.asarray(getattr(tables, f.name))
+            for f in dataclasses.fields(tables)})
+        self.num_timesteps = tables.num_timesteps
+        self.parameterization = parameterization
+        self.l_simple_weight = l_simple_weight
+        self.original_elbo_weight = original_elbo_weight
+
+    def q_sample(self, x0, t, noise):
+        return (_extract(self.t.sqrt_alphas_cumprod, t, x0.ndim) * x0 +
+                _extract(self.t.sqrt_one_minus_alphas_cumprod, t, x0.ndim) * noise)
+
+    def p_losses(self, denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+                 z0: jnp.ndarray, t: jnp.ndarray, rng: jax.Array,
+                 mask: Optional[jnp.ndarray] = None,
+                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """z0: (M, ...) latents; t: (M,); mask: (M,) object validity."""
+        noise = jax.random.normal(rng, z0.shape, z0.dtype)
+        z_noisy = self.q_sample(z0, t, noise)
+        out = denoise_fn(z_noisy, t)
+        target = noise if self.parameterization == "eps" else z0
+
+        axes = tuple(range(1, z0.ndim))
+        per_obj = jnp.mean((out - target) ** 2, axis=axes)
+        loss_simple = masked_mean(per_obj, mask)
+        # logvar table is all zeros (logvar_init=0, echo2shape.py:168-169)
+        loss = self.l_simple_weight * loss_simple
+        loss_vlb = masked_mean(self.t.lvlb_weights[t] * per_obj, mask)
+        loss = loss + self.original_elbo_weight * loss_vlb
+        return loss, {
+            "loss_total": loss, "loss_simple": loss_simple, "loss_vlb": loss_vlb,
+        }
+
+    # --- DDIM sampling ----------------------------------------------------
+    def make_ddim_tables(self, num_steps: int, eta: float = 0.0) -> DDIMTables:
+        steps = ddim_timesteps(num_steps, self.num_timesteps)
+        return ddim_tables(self.np_tables.alphas_cumprod, steps, eta)
+
+    def ddim_sample_chain(self, denoise_fn, shape: Tuple[int, ...],
+                          rng: jax.Array, tables: DDIMTables,
+                          x_T: Optional[jnp.ndarray] = None,
+                          temperature: float = 1.0) -> jnp.ndarray:
+        """DDIM reverse chain as one lax.scan (ddim.py:156-262).
+
+        denoise_fn(x, t_vec) -> eps.  When `x_T` is given it is used as the
+        initial noise (the shared-noise consistency trick passes a repeated
+        single grid here).
+        """
+        if x_T is None:
+            rng, init_rng = jax.random.split(rng)
+            x_T = jax.random.normal(init_rng, shape)
+
+        step_data = (
+            jnp.asarray(tables.timesteps),
+            jnp.asarray(tables.alphas),
+            jnp.asarray(tables.alphas_prev),
+            jnp.asarray(tables.sqrt_one_minus_alphas),
+            jnp.asarray(tables.sigmas),
+        )
+        ndim = len(shape)
+        bcast = lambda v: v.reshape((1,) * ndim)
+
+        def step(carry, inputs):
+            x, key = carry
+            t_scalar, a_t, a_prev, sqrt_1m_a, sigma = inputs
+            key, nkey = jax.random.split(key)
+            t_vec = jnp.full((shape[0],), t_scalar, jnp.int32)
+            e_t = denoise_fn(x, t_vec)
+            pred_x0 = (x - bcast(sqrt_1m_a) * e_t) / jnp.sqrt(bcast(a_t))
+            dir_xt = jnp.sqrt(jnp.clip(1.0 - bcast(a_prev) - bcast(sigma) ** 2,
+                                       0.0, None)) * e_t
+            noise = (bcast(sigma) * jax.random.normal(nkey, x.shape, x.dtype)
+                     * temperature)
+            x_prev = jnp.sqrt(bcast(a_prev)) * pred_x0 + dir_xt + noise
+            return (x_prev, key), None
+
+        # scan runs from the LAST ddim step down to the first (np.flip, ddim.py:150)
+        flipped = jax.tree.map(lambda a: a[::-1], step_data)
+        (x0, _), _ = jax.lax.scan(step, (x_T, rng), flipped)
+        return x0
+
+    def shared_noise(self, rng: jax.Array, batch: int,
+                     item_shape: Tuple[int, ...]) -> jnp.ndarray:
+        """One noise grid repeated over the batch (echo2shape.py:508-510)."""
+        single = jax.random.normal(rng, (1,) + item_shape)
+        return jnp.broadcast_to(single, (batch,) + item_shape)

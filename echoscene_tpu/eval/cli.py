@@ -1,0 +1,170 @@
+"""Evaluation CLI — the eval_3dfront.py analogue.
+
+Reference: scripts/eval_3dfront.py:234-412.  Rebuilds the model from the
+experiment's args.json, iterates the test split scene-by-scene, generates
+layouts (+shapes), descales to world units and scores the scene-graph
+constraint accuracy; writes `<eval_type>_accuracy_analysis.txt` in the same
+line format (:307-328).  Manipulated eval (relationship/addition) keeps GT
+boxes for untouched nodes (:191-202) and scores changed/unchanged triples
+separately.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from ..core.boxes import descale_box_params
+from .metrics import (validate_constrains, validate_constrains_changes,
+                      new_accuracy_dict)
+
+
+def write_accuracy_report(path: str, named_accs) -> str:
+    """Reference report format (eval_3dfront.py:307-328)."""
+    lines = []
+    for dic, typ in named_accs:
+        m = lambda k: float(np.mean(dic[k])) if dic[k] else float("nan")
+        lr = np.nanmean([m("left"), m("right")])
+        fb = np.nanmean([m("front"), m("behind")])
+        bism = np.nanmean([m("bigger"), m("smaller")])
+        tash = np.nanmean([m("taller"), m("shorter")])
+        stand, close, symm, total = (m("standing on"), m("close by"),
+                                     m("symmetrical to"), m("total"))
+        mom = np.nanmean([lr, fb, bism, tash, stand, close, symm])
+        lines.append(
+            "{} & L/R: {:.2f} & F/B: {:.2f} & Bi/Sm: {:.2f} & Ta/Sh: {:.2f} "
+            "& Stand: {:.2f} & Close: {:.2f} & Symm: {:.2f}. Total: &{:.2f}"
+            .format(typ, lr, fb, bism, tash, stand, close, symm, total))
+        lines.append("means of mean: {:.2f}\n".format(mom))
+    text = "\n".join(lines) + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+    print(text)
+    return text
+
+
+def evaluate(args):
+    import jax
+    from ..data.clip_text import ClipTextEncoder
+    from ..data.collate import CollateSpec, collate_scenes
+    from ..data.sgfront import SGFrontDataset
+    from ..models.config import load_config
+    from ..models.sgdiff import SGDiff
+    from ..train.checkpoint import restore_checkpoint
+
+    with open(os.path.join(args.exp, "args.json")) as f:
+        margs = json.load(f)
+
+    clip = ClipTextEncoder(margs.get("clip_backend", "hash"))
+    eval_type = args.evaluate_diversity or "none"
+
+    def make_ds(etype):
+        return SGFrontDataset(
+            root=args.dataset or margs["dataset"], split="test",
+            room_type=margs["room_type"], shuffle_objs=False,
+            use_sdf=margs["with_SDF"], use_scene_rels=margs["use_scene_rels"],
+            with_changes=etype != "none", eval_mode=etype != "none",
+            eval_type=etype, large=margs["large"], clip=clip, seed=47)
+
+    cfg = load_config(margs["diff_yaml"], network_type=margs["network_type"],
+                      with_clip=margs["with_CLIP"])
+    cfg.replace_latent = margs["replace_latent"]
+    cfg.residual = margs["residual"]
+    ds0 = make_ds("none")
+    cfg.layout_diffusion.train_stats_file = ds0.box_stats_path
+
+    # per-scene padded capacities
+    spec = CollateSpec(max_nodes=args.max_nodes, max_triples=args.max_triples,
+                       max_scenes=1, diffusion_bs=args.max_nodes,
+                       with_sdf=False)
+    sg = SGDiff(cfg, num_objs=len(ds0.classes), num_preds=len(ds0.pred_names),
+                iou_stats=ds0.box_stats)
+
+    ex0 = next(e for e in (ds0[i] for i in range(len(ds0))) if e is not None)
+    batch0 = collate_scenes([ex0], spec)
+    state = sg.init(jax.random.PRNGKey(0), batch0)
+    if args.epoch >= 0:
+        state = restore_checkpoint(
+            os.path.join(args.exp, "checkpoint", f"model{args.epoch}"), state)
+
+    stats = ds0.box_stats
+    os.makedirs(args.store_path, exist_ok=True)
+    key = jax.random.PRNGKey(47)
+
+    sample_jit = jax.jit(lambda p, bs, b, k, manip: sg.sample_fn(
+        p, bs, b, k, gen_shape=args.gen_shape, with_manipulation=manip),
+        static_argnames=("manip",))
+
+    def run_eval(etype: str, limit: int):
+        nonlocal key
+        ds = make_ds(etype)
+        acc = new_accuracy_dict()
+        acc_unchanged = new_accuracy_dict()
+        n_eval = min(limit or len(ds), len(ds))
+        for i in range(n_eval):
+            ex = ds[i]
+            if ex is None:
+                continue
+            batch = collate_scenes([ex], spec)
+            if batch is None:
+                continue
+            key, sk = jax.random.split(key)
+            out = sample_jit(state.params, state.batch_stats, batch, sk,
+                             etype != "none")
+            n = ex.num_nodes
+            sizes = np.asarray(out["sizes"])[:n]
+            trans = np.asarray(out["translations"])[:n]
+            boxes6 = descale_box_params(
+                np.concatenate([sizes, trans], -1), stats)
+            keep = np.asarray(out["keep"])[:n]
+            if etype != "none":
+                # untouched nodes keep their GT boxes (eval_3dfront.py:191-202)
+                gt6 = descale_box_params(ex.boxes[:, :6], stats)
+                boxes6 = np.where(keep[:, None] == 1, gt6, boxes6)
+                validate_constrains_changes(ex.triples, boxes6, keep,
+                                            ds.vocab["pred_idx_to_name"], acc)
+                validate_constrains(ex.triples, boxes6, keep,
+                                    ds.vocab["pred_idx_to_name"], acc_unchanged)
+            else:
+                validate_constrains(ex.triples, boxes6, None,
+                                    ds.vocab["pred_idx_to_name"], acc)
+        report = os.path.join(args.store_path,
+                              f"{etype}_accuracy_analysis.txt")
+        if etype != "none":
+            write_accuracy_report(report, [(acc, "changed nodes"),
+                                           (acc_unchanged, "unchanged nodes")])
+        else:
+            write_accuracy_report(report, [(acc, "acc")])
+        return acc
+
+    results = {}
+    for etype in args.eval_types.split(","):
+        results[etype.strip()] = run_eval(etype.strip(), args.limit)
+    return results
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp", required=True)
+    p.add_argument("--dataset", default=None)
+    p.add_argument("--epoch", type=int, default=-1)
+    p.add_argument("--eval_types", default="none",
+                   help="comma list: none,relationship,addition")
+    p.add_argument("--evaluate_diversity", default=None)
+    p.add_argument("--gen_shape", action="store_true")
+    p.add_argument("--store_path", default="./eval_out")
+    p.add_argument("--max_nodes", type=int, default=48)
+    p.add_argument("--max_triples", type=int, default=160)
+    p.add_argument("--limit", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    return evaluate(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,310 @@
+"""SGDiff facade: builds the model, optimizer, jitted train step and samplers.
+
+API reference: /root/reference/model/SGDiff.py (facade with forward_mani,
+sample_box_and_shape, sample_boxes_and_shape_with_changes/_additions,
+load_networks, save) and the optimizer/schedule wiring in
+EchoScene.optimizer_ini / lr_lambda (EchoScene.py:117-141: joint AdamW lr 1e-4
+over GCN+layout+shape params, piecewise lr 1e-4 -> 5e-5 / 1e-5 / 5e-6 at the
+configured counters; the frozen VQ-VAE is excluded).
+
+Everything heavy is one jitted function:
+  * train_step: both branches' losses + grads + shape-branch grad clipping at
+    norm 5 + NaN-grad zeroing (train_3dfront.py:249-261) + AdamW update,
+  * sample: layout DDPM full chain and shape DDIM chain as lax.scans whose
+    bodies contain the echo GCN — zero host round-trips per step.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..core import schedules as S
+from ..core.boxes import box_vec_from_boxes
+from ..core.graphbatch import SceneBatch
+from ..diffusion.ddpm import LayoutDiffusion, masked_mean
+from ..diffusion.ldm import ShapeDiffusion
+from .config import EchoSceneConfig
+from .echo_scene import EchoSceneModule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    epoch: jnp.ndarray
+
+
+def lr_schedule(cfg: EchoSceneConfig):
+    """Piecewise-constant lr (EchoScene.lr_lambda :117-128)."""
+    boundaries = {}
+    lrs = [cfg.lr_init] + list(cfg.lr_evo)
+    scales = {int(b): lrs[i + 1] / lrs[i] for i, b in enumerate(cfg.lr_step)}
+    del boundaries
+    return optax.piecewise_constant_schedule(cfg.lr_init, scales)
+
+
+def _is_frozen(path: Tuple[str, ...]) -> bool:
+    return any(p == "vqvae" for p in path)
+
+
+def _label_params(params) -> Any:
+    flat = jax.tree_util.tree_map_with_path(
+        lambda path, _: "frozen" if any(
+            getattr(k, "key", None) == "vqvae" for k in path) else "train",
+        params)
+    return flat
+
+
+def make_optimizer(cfg: EchoSceneConfig, params):
+    tx = optax.multi_transform(
+        {"train": optax.adamw(lr_schedule(cfg)),
+         "frozen": optax.set_to_zero()},
+        _label_params(params))
+    return tx
+
+
+def clip_and_sanitize_grads(grads, max_norm: float = 5.0):
+    """clip_grad_norm_ on the shape denoiser + NaN-grad zeroing
+    (train_3dfront.py:253-259)."""
+    def clip_subtree(g):
+        leaves = jax.tree_util.tree_leaves(g)
+        if not leaves:
+            return g
+        norm = jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-6))
+        return jax.tree.map(lambda x: x * scale, g)
+
+    if isinstance(grads, FrozenDict):
+        grads = grads.unfreeze()
+    if "shape_denoiser" in grads:
+        grads = dict(grads)
+        grads["shape_denoiser"] = clip_subtree(grads["shape_denoiser"])
+    return jax.tree.map(lambda g: jnp.nan_to_num(g, nan=0.0), grads)
+
+
+class SGDiff:
+    """Host-side facade owning module + diffusion math + jitted entry points."""
+
+    def __init__(self, cfg: EchoSceneConfig, num_objs: int, num_preds: int,
+                 iou_stats: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        self.module = EchoSceneModule(cfg, num_objs=num_objs, num_preds=num_preds)
+        lc = cfg.layout_diffusion
+        betas = S.get_betas(lc.schedule_type, lc.beta_start, lc.beta_end, lc.time_num)
+        self.layout_diff = LayoutDiffusion(
+            S.make_diffusion_tables(betas),
+            model_mean_type=lc.model_mean_type, model_var_type=lc.model_var_type,
+            loss_iou=lc.loss_iou,
+            iou_stats=None if iou_stats is None else jnp.asarray(iou_stats))
+        self.is_echoscene = cfg.network_type == "echoscene"
+        if self.is_echoscene:
+            sd = cfg.shape_branch.denoiser
+            self.shape_diff = ShapeDiffusion(S.make_diffusion_tables(
+                S.ldm_linear_betas(sd.linear_start, sd.linear_end, sd.timesteps)))
+            self.ddim_tables = self.shape_diff.make_ddim_tables(
+                cfg.shape_branch.ddim_steps, cfg.shape_branch.ddim_eta)
+        self._train_step = None
+        self._sample = None
+
+    # ------------------------------------------------------------------
+    def init(self, rng: jax.Array, batch: SceneBatch) -> TrainState:
+        n = batch.num_nodes
+        change = jnp.zeros((n, self.cfg.embedding_dim))
+        variables = self.module.init(rng, batch, change)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        tx = make_optimizer(self.cfg, params)
+        self._tx = tx
+        opt_state = tx.init(params)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          batch_stats=batch_stats, opt_state=opt_state,
+                          epoch=jnp.zeros((), jnp.int32))
+
+    def ensure_tx(self, params):
+        if not hasattr(self, "_tx"):
+            self._tx = make_optimizer(self.cfg, params)
+        return self._tx
+
+    # ------------------------------------------------------------------
+    def loss_fn(self, params, batch_stats, batch: SceneBatch, rng: jax.Array):
+        cfg = self.cfg
+        ld = self.layout_diff
+        n = batch.num_nodes
+        k_change, k_t, k_noise, k_ts, k_ns = jax.random.split(rng, 5)
+        change = jax.random.normal(k_change, (n, cfg.embedding_dim))
+
+        # layout branch: scene-shared t (diffusion_ddpm.py:600-603)
+        t_box = ld.scene_shared_timesteps(k_t, batch.obj_to_scene,
+                                          batch.num_scenes)
+        x0 = box_vec_from_boxes(batch.boxes)
+        noise_box = jax.random.normal(k_noise, x0.shape)
+        box_xt = ld.q_sample(x0, t_box, noise_box)
+
+        kwargs: Dict[str, Any] = {}
+        noise_shape = t_shape = None
+        if self.is_echoscene:
+            sd = self.shape_diff
+            m = batch.shapes.capacity
+            r = cfg.shape_branch.denoiser.image_size
+            zc = cfg.shape_branch.vqvae.embed_dim
+            t_shape = jax.random.randint(k_ts, (m,), 0, sd.num_timesteps)
+            noise_shape = jax.random.normal(k_ns, (m, r, r, r, zc))
+            kwargs = dict(shape_noise=noise_shape, t_shape=t_shape,
+                          sqrt_ac=sd.t.sqrt_alphas_cumprod[t_shape],
+                          sqrt_1m_ac=sd.t.sqrt_one_minus_alphas_cumprod[t_shape])
+
+        outs, mutated = self.module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch, change, box_xt, t_box, mutable=["batch_stats"],
+            method=EchoSceneModule.train_forward, **kwargs)
+
+        # layout loss (diffusion_loss :451-477), target = noise (eps param)
+        sq = (noise_box - outs["eps_box"]) ** 2
+        om = batch.dec.obj_mask
+        per = lambda a: jnp.mean(a, axis=-1)
+        layout_diag = {
+            "loss.size": masked_mean(per(sq[:, :3]), om),
+            "loss.trans": masked_mean(per(sq[:, 3:6]), om),
+            "loss.angle": masked_mean(per(sq[:, 6:8]), om),
+            "loss.bbox": masked_mean(per(sq[:, :8]), om),
+        }
+        layout_loss = layout_diag["loss.bbox"]
+        if ld.loss_iou:
+            liou, biou = ld.iou_loss(box_xt, t_box, outs["eps_box"],
+                                     batch.same_scene_matrix(), om)
+            layout_loss = layout_loss + liou
+            layout_diag.update({"loss.liou": liou, "loss.bbox_iou": biou})
+        else:
+            layout_diag.update({"loss.liou": jnp.zeros(()),
+                                "loss.bbox_iou": jnp.zeros(())})
+
+        total = layout_loss
+        shape_diag = {}
+        if self.is_echoscene:
+            sm = outs["shape_mask"]
+            axes = tuple(range(1, noise_shape.ndim))
+            per_obj = jnp.mean((outs["eps_shape"] - noise_shape) ** 2, axis=axes)
+            loss_simple = masked_mean(per_obj, sm)
+            loss_vlb = masked_mean(self.shape_diff.t.lvlb_weights[t_shape] * per_obj, sm)
+            shape_loss = loss_simple  # l_simple_weight 1, elbo weight 0
+            shape_diag = {"loss_total": shape_loss, "loss_simple": loss_simple,
+                          "loss_vlb": loss_vlb}
+            total = total + shape_loss
+        else:
+            shape_loss = jnp.zeros(())
+
+        metrics = {"layout_loss": layout_loss, "shape_loss": shape_loss,
+                   **layout_diag, **shape_diag}
+        return total, (mutated.get("batch_stats", batch_stats), metrics)
+
+    def build_train_step(self, donate: bool = True):
+        tx_holder = {}
+
+        def step_fn(state: TrainState, batch: SceneBatch, rng: jax.Array):
+            (loss, (new_bs, metrics)), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                            batch, rng)
+            grads = clip_and_sanitize_grads(grads)
+            tx = tx_holder["tx"]
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            metrics["loss"] = loss
+            metrics["grad_norm"] = optax.global_norm(grads)
+            new_state = state.replace(step=state.step + 1, params=new_params,
+                                      batch_stats=new_bs, opt_state=new_opt)
+            return new_state, metrics
+
+        def make(state):
+            tx_holder["tx"] = self.ensure_tx(state.params)
+            return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+        return make
+
+    def train_step(self, state: TrainState, batch: SceneBatch, rng: jax.Array):
+        if self._train_step is None:
+            self._train_step = self.build_train_step()(state)
+        return self._train_step(state, batch, rng)
+
+    # ------------------------------------------------------------------
+    def _context(self, variables, batch: SceneBatch, change: jnp.ndarray,
+                 splice: bool):
+        return self.module.apply(
+            variables, batch, change, splice_untouched=splice,
+            method=EchoSceneModule.encode_context)
+
+    def sample_fn(self, params, batch_stats, batch: SceneBatch, rng: jax.Array,
+                  gen_shape: bool = True, with_manipulation: bool = False,
+                  decode_chunk: int = 8):
+        """Generate layout (full DDPM chain) and shapes (DDIM + VQ decode).
+
+        Mirrors Sg2ScDiffModel.sample (:388-420); with_manipulation covers
+        sample_with_changes/_additions (:422-532): change noise on flagged
+        nodes + latent splicing for untouched ones.
+        """
+        variables = {"params": params, "batch_stats": batch_stats}
+        n = batch.num_nodes
+        k_change, k_box, k_shape = jax.random.split(rng, 3)
+        if with_manipulation:
+            change = jax.random.normal(k_change, (n, self.cfg.embedding_dim))
+            splice = not self.cfg.replace_latent
+        else:
+            change = jnp.zeros((n, self.cfg.embedding_dim))
+            splice = False
+        ctx = self._context(variables, batch, change, splice)
+
+        def box_denoise(x, t):
+            return self.module.apply(
+                variables, x, t, ctx["obj_embed"], batch,
+                method=EchoSceneModule.layout_eps)
+
+        vec8 = self.layout_diff.sample_chain(
+            box_denoise, (n, self.cfg.layout_denoiser.in_channels), k_box,
+            clip_denoised=False)
+        out = dict(self.layout_diff.split_sample(vec8))
+        out["keep"] = 1.0 - batch.change_flags
+
+        if gen_shape and self.is_echoscene:
+            sd_cfg = self.cfg.shape_branch
+            r = sd_cfg.denoiser.image_size
+            zc = sd_cfg.vqvae.embed_dim
+            uc_s = ctx["uc_s"][:, None, :]
+
+            def shape_denoise(z, t):
+                return self.module.apply(
+                    variables, z, t, uc_s, batch.dec.triples,
+                    batch.dec.obj_mask, batch.dec.triple_mask,
+                    method=EchoSceneModule.shape_eps)
+
+            x_T = self.shape_diff.shared_noise(k_shape, n, (r, r, r, zc))
+            z0 = self.shape_diff.ddim_sample_chain(
+                shape_denoise, (n, r, r, r, zc), k_shape, self.ddim_tables,
+                x_T=x_T)
+            # chunked VQ decode to bound memory (64^3 output grids)
+            if n % decode_chunk == 0 and n > decode_chunk:
+                zc_ = z0.reshape(n // decode_chunk, decode_chunk, *z0.shape[1:])
+                sdf = jax.lax.map(lambda z: self.module.apply(
+                    variables, z, method=EchoSceneModule.decode_latent), zc_)
+                sdf = sdf.reshape(n, *sdf.shape[2:])
+            else:
+                sdf = self.module.apply(variables, z0,
+                                        method=EchoSceneModule.decode_latent)
+            out["shapes"] = sdf
+        return out
+
+    def sample(self, state: TrainState, batch: SceneBatch, rng: jax.Array,
+               gen_shape: bool = True, with_manipulation: bool = False):
+        if self._sample is None:
+            self._sample = jax.jit(
+                functools.partial(self.sample_fn),
+                static_argnames=("gen_shape", "with_manipulation"))
+        return self._sample(state.params, state.batch_stats, batch, rng,
+                            gen_shape=gen_shape,
+                            with_manipulation=with_manipulation)

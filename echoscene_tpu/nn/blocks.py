@@ -39,14 +39,22 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int,
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) computed in float32 (ldm_diffusion_util.py:222-239)."""
+    """GroupNorm(32) computed in float32 (ldm_diffusion_util.py:222-239).
+
+    All reference channel counts are multiples of 32; for smaller test-scale
+    widths the group count degrades to the largest divisor <= requested.
+    """
     num_groups: int = 32
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
+        c = x.shape[-1]
+        groups = min(self.num_groups, c)
+        while c % groups:
+            groups -= 1
         orig_dtype = x.dtype
-        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon,
+        y = nn.GroupNorm(num_groups=groups, epsilon=self.epsilon,
                          dtype=jnp.float32)(x.astype(jnp.float32))
         return y.astype(orig_dtype)
 
@@ -59,7 +67,7 @@ def zero_init_conv(features: int, kernel: Sequence[int], **kw) -> nn.Conv:
 
 
 def _conv(features: int, spatial_rank: int, stride=1, kernel: int = 3,
-          zero: bool = False, dtype=None) -> nn.Conv:
+          zero: bool = False, dtype=None, name=None) -> nn.Conv:
     ks = (kernel,) * spatial_rank
     strides = stride if isinstance(stride, tuple) else (stride,) * spatial_rank
     init = {}
@@ -67,7 +75,7 @@ def _conv(features: int, spatial_rank: int, stride=1, kernel: int = 3,
         init = dict(kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros)
     return nn.Conv(features, kernel_size=ks, strides=strides,
                    padding=[(kernel // 2, kernel // 2)] * spatial_rank,
-                   dtype=dtype, **init)
+                   dtype=dtype, name=name, **init)
 
 
 class Upsample(nn.Module):

@@ -1,0 +1,44 @@
+"""Checkpoint save/restore via Orbax.
+
+Contract parity with the reference (SGDiff.save/load_networks,
+model/SGDiff.py:49-129): one checkpoint per epoch at
+<exp>/checkpoint/model<epoch>, containing params (GCNs + both denoisers +
+frozen VQ-VAE), optimizer state, batch stats, step counter and epoch.  Restore
+rebuilds the lr schedule implicitly (it is a pure function of the step).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..models.sgdiff import TrainState
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(template))
+    return ckptr.restore(path, abstract)
+
+
+def latest_epoch(exp_dir: str) -> int:
+    ckdir = os.path.join(exp_dir, "checkpoint")
+    best = -1
+    if os.path.isdir(ckdir):
+        for name in os.listdir(ckdir):
+            if name.startswith("model"):
+                try:
+                    best = max(best, int(name[len("model"):]))
+                except ValueError:
+                    pass
+    return best

@@ -1,0 +1,138 @@
+"""Training CLI — argparse-compatible with the reference's train_3dfront.py.
+
+Reference flags (scripts/train_3dfront.py:21-66) are accepted with the same
+names and defaults; TPU-specific capacity flags are added.  args.json is
+written to the experiment dir so the eval CLI can rebuild the model
+(train_3dfront.py:205-206 / eval_3dfront.py:334-337).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def bool_flag(s):
+    if s in ("1", "True", True):
+        return True
+    if s in ("0", "False", False):
+        return False
+    raise ValueError(f"invalid bool flag {s!r}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batchSize", type=int, default=8)
+    p.add_argument("--nepoch", type=int, default=200)
+    p.add_argument("--outf", type=str, default="checkpoint")
+    p.add_argument("--dataset", type=str, required=True)
+    p.add_argument("--logf", default="logs")
+    p.add_argument("--exp", default="./experiments/layout_test")
+    p.add_argument("--room_type", default="bedroom")
+    p.add_argument("--residual", type=bool_flag, default=False)
+    p.add_argument("--pooling", type=str, default="avg")
+    p.add_argument("--large", type=bool_flag, default=False)
+    p.add_argument("--use_scene_rels", type=bool_flag, default=True)
+    p.add_argument("--separated", type=bool_flag, default=True)
+    p.add_argument("--with_SDF", type=bool_flag, default=False)
+    p.add_argument("--with_CLIP", type=bool_flag, default=True)
+    p.add_argument("--shuffle_objs", type=bool_flag, default=True)
+    p.add_argument("--with_angles", type=bool_flag, default=True)
+    p.add_argument("--num_box_params", type=int, default=6)
+    p.add_argument("--with_changes", type=bool_flag, default=True)
+    p.add_argument("--loadmodel", type=bool_flag, default=False)
+    p.add_argument("--loadepoch", type=int, default=90)
+    p.add_argument("--replace_latent", type=bool_flag, default=True)
+    p.add_argument("--network_type", default="echoscene",
+                   choices=["echoscene", "echolayout"])
+    p.add_argument("--diff_yaml", default="configs/full_mp.yaml")
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--vis_num", type=int, default=2)
+    # TPU-native additions
+    p.add_argument("--max_nodes", type=int, default=0,
+                   help="flat node capacity (0 = auto from batchSize)")
+    p.add_argument("--max_triples", type=int, default=0)
+    p.add_argument("--clip_backend", default="hash",
+                   choices=["hash", "cache", "transformers"])
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="stop after N optimizer steps (0 = unlimited)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from ..data.clip_text import ClipTextEncoder
+    from ..data.collate import CollateSpec
+    from ..data.sgfront import SGFrontDataset
+    from ..models.config import load_config
+    from ..models.sgdiff import SGDiff
+    from .trainer import Trainer, dump_args
+
+    clip = ClipTextEncoder(args.clip_backend)
+    dataset = SGFrontDataset(
+        root=args.dataset, split="train_scans", room_type=args.room_type,
+        shuffle_objs=args.shuffle_objs, use_sdf=args.with_SDF,
+        use_scene_rels=args.use_scene_rels, with_changes=args.with_changes,
+        large=args.large, clip=clip, seed=args.seed)
+
+    cfg = load_config(args.diff_yaml, network_type=args.network_type,
+                      with_clip=args.with_CLIP)
+    cfg.residual = args.residual
+    cfg.gconv_pooling = args.pooling
+    cfg.separated = args.separated
+    cfg.replace_latent = args.replace_latent
+    cfg.use_angles = args.with_angles
+    cfg.compute_dtype = args.compute_dtype
+    cfg.layout_diffusion.train_stats_file = dataset.box_stats_path
+    cfg.layout_denoiser.using_clip = args.with_CLIP
+    max_nodes = args.max_nodes or int(args.batchSize * 16)
+    max_triples = args.max_triples or max_nodes * 3
+    cfg.max_nodes, cfg.max_triples = max_nodes, max_triples
+    cfg.batch_scenes = args.batchSize
+
+    num_objs = len(dataset.classes)
+    num_preds = len(dataset.pred_names)
+    sgdiff = SGDiff(cfg, num_objs=num_objs, num_preds=num_preds,
+                    iou_stats=dataset.box_stats)
+
+    spec = CollateSpec(
+        max_nodes=max_nodes, max_triples=max_triples,
+        max_scenes=args.batchSize, diffusion_bs=cfg.diffusion_bs,
+        with_sdf=args.with_SDF and args.network_type == "echoscene",
+        sdf_res=dataset.sdf_res)
+
+    # init with one real batch
+    import jax
+    from .trainer import batch_iterator
+    first = next(batch_iterator(dataset, spec, args.batchSize,
+                                np.random.default_rng(0)))
+    state = sgdiff.init(jax.random.PRNGKey(args.seed), first)
+
+    os.makedirs(args.exp, exist_ok=True)
+    dump_args(args.exp, vars(args))
+
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        writer = SummaryWriter(os.path.join(args.exp, args.logf))
+    except Exception as e:  # pragma: no cover
+        print(f"[train] tensorboard writer unavailable: {e}")
+
+    trainer = Trainer(sgdiff, dataset, spec, args.exp,
+                      batch_scenes=args.batchSize, seed=args.seed,
+                      writer=writer)
+    if args.loadmodel:
+        state = trainer.load(state, args.loadepoch)
+    state = trainer.train(state, args.nepoch,
+                          max_steps=args.max_steps or None)
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Training loop: prefetching host pipeline, jitted step, TB logging,
+checkpointing, SIGINT-save.
+
+Behavioral reference: scripts/train_3dfront.py:142-311 — same observable
+behavior (scalar names Loss_BBox/Loss_Translation/Loss_Size/Loss_Angle/
+Loss_IoU/Loss_Shape/learning_rate, console prints every 50 steps, periodic
+epoch checkpoints, SIGINT -> graceful save, args.json persisted for eval) with
+a TPU-native engine: padded batches built by a background thread, one jitted
+train step, Orbax checkpoints.
+"""
+from __future__ import annotations
+
+import json
+import os
+import queue
+import signal
+import threading
+import time
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..data.collate import CollateSpec, collate_scenes
+from ..data.sgfront import SGFrontDataset
+from ..models.sgdiff import SGDiff, TrainState
+from .checkpoint import save_checkpoint, restore_checkpoint
+
+
+class InterruptHandler:
+    """SIGINT -> finish the current step, save, exit
+    (helpers/interrupt_handler.py:4-35)."""
+
+    def __init__(self):
+        self.interrupted = False
+        self._orig = None
+
+    def __enter__(self):
+        self._orig = signal.getsignal(signal.SIGINT)
+        def handler(sig, frame):
+            self.interrupted = True
+        signal.signal(signal.SIGINT, handler)
+        return self
+
+    def __exit__(self, *a):
+        signal.signal(signal.SIGINT, self._orig)
+        return False
+
+
+def batch_iterator(dataset: SGFrontDataset, spec: CollateSpec,
+                   batch_scenes: int, rng: np.random.Generator,
+                   latent_lookup=None) -> Iterator:
+    order = rng.permutation(len(dataset))
+    buf = []
+    for i in order:
+        ex = dataset[int(i)]
+        if ex is None:
+            continue
+        buf.append(ex)
+        if len(buf) == batch_scenes:
+            b = collate_scenes(buf, spec, sdf_loader=dataset.load_sdf,
+                               latent_lookup=latent_lookup)
+            if b is not None:
+                yield b
+            buf = []
+    if buf:
+        b = collate_scenes(buf, spec, sdf_loader=dataset.load_sdf,
+                           latent_lookup=latent_lookup)
+        if b is not None:
+            yield b
+
+
+class Prefetcher:
+    """Background-thread batch producer (the torch DataLoader worker analog)."""
+
+    def __init__(self, make_iter, depth: int = 2):
+        self.make_iter = make_iter
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.thread: Optional[threading.Thread] = None
+
+    def _run(self):
+        try:
+            for b in self.make_iter():
+                self.q.put(b)
+        finally:
+            self.q.put(None)
+
+    def __iter__(self):
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+        while True:
+            b = self.q.get()
+            if b is None:
+                return
+            yield b
+
+
+class Trainer:
+    def __init__(self, sgdiff: SGDiff, dataset: SGFrontDataset,
+                 spec: CollateSpec, exp_dir: str, batch_scenes: int = 64,
+                 log_every: int = 50, ckpt_every_epochs: int = 100,
+                 seed: int = 0, writer=None, latent_lookup=None):
+        self.sgdiff = sgdiff
+        self.dataset = dataset
+        self.spec = spec
+        self.exp_dir = exp_dir
+        self.batch_scenes = batch_scenes
+        self.log_every = log_every
+        self.ckpt_every_epochs = ckpt_every_epochs
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.latent_lookup = latent_lookup
+        os.makedirs(os.path.join(exp_dir, "checkpoint"), exist_ok=True)
+        self.writer = writer
+        self.loss_log = open(os.path.join(exp_dir, "loss_log.txt"), "a")
+
+    def _log_scalars(self, metrics, counter: int, lr: float):
+        w = self.writer
+        if w is None:
+            return
+        # reference scalar names (train_3dfront.py:266-281)
+        w.add_scalar("learning_rate", lr, counter)
+        w.add_scalar("Loss_BBox", float(metrics["layout_loss"]), counter)
+        w.add_scalar("Loss_Translation", float(metrics["loss.trans"]), counter)
+        w.add_scalar("Loss_Size", float(metrics["loss.size"]), counter)
+        w.add_scalar("Loss_Angle", float(metrics["loss.angle"]), counter)
+        w.add_scalar("Loss_IoU", float(metrics["loss.liou"]), counter)
+        w.add_scalar("Loss_Shape", float(metrics["shape_loss"]), counter)
+
+    def current_lr(self, counter: int) -> float:
+        cfg = self.sgdiff.cfg
+        lr = cfg.lr_init
+        for b, v in zip(cfg.lr_step, cfg.lr_evo):
+            if counter >= b:
+                lr = v
+        return lr
+
+    def train(self, state: TrainState, epochs: int,
+              max_steps: Optional[int] = None) -> TrainState:
+        counter = int(state.step)
+        start_epoch = int(state.epoch)
+        t_start = time.time()
+        steps_done = 0
+        with InterruptHandler() as h:
+            for epoch in range(start_epoch, epochs):
+                it = Prefetcher(lambda: batch_iterator(
+                    self.dataset, self.spec, self.batch_scenes, self.rng,
+                    self.latent_lookup))
+                for batch in it:
+                    self.key, sk = jax.random.split(self.key)
+                    state, metrics = self.sgdiff.train_step(state, batch, sk)
+                    counter += 1
+                    steps_done += 1
+                    if counter % self.log_every == 0:
+                        metrics = jax.device_get(metrics)
+                        lr = self.current_lr(counter)
+                        msg = ("loss at {}: box {:.4f}, shape {:.4f}. Lr:{:.6f}"
+                               .format(counter, float(metrics["layout_loss"]),
+                                       float(metrics["shape_loss"]), lr))
+                        print(msg)
+                        self.loss_log.write(msg + "\n")
+                        self.loss_log.flush()
+                        self._log_scalars(metrics, counter, lr)
+                    if h.interrupted or (max_steps and steps_done >= max_steps):
+                        break
+                state = state.replace(epoch=state.epoch + 1)
+                if h.interrupted or (max_steps and steps_done >= max_steps):
+                    break
+                if epoch % self.ckpt_every_epochs == 0:
+                    self.save(state, epoch)
+            self.save(state, int(state.epoch))
+        dt = time.time() - t_start
+        if steps_done:
+            print(f"[trainer] {steps_done} steps in {dt:.1f}s "
+                  f"({steps_done / dt:.3f} steps/s)")
+        return state
+
+    def save(self, state: TrainState, epoch: int):
+        path = os.path.join(self.exp_dir, "checkpoint", f"model{epoch}")
+        save_checkpoint(path, state)
+        print(f"saved model_{epoch}")
+
+    def load(self, state: TrainState, epoch: int) -> TrainState:
+        path = os.path.join(self.exp_dir, "checkpoint", f"model{epoch}")
+        return restore_checkpoint(path, state)
+
+
+def dump_args(exp_dir: str, args: dict):
+    """args.json contract (train_3dfront.py:205-206; eval reads it back)."""
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "args.json"), "w") as f:
+        json.dump(args, f, indent=2)

@@ -1,0 +1,131 @@
+"""End-to-end slice: fake dataset -> collate -> init -> train steps -> sample.
+
+This is the hermetic integration test the reference never had (SURVEY.md §4):
+the full EchoScene path (dual branch, echo GCNs, VQ encode, both samplers) on
+tiny shapes, CPU.
+"""
+import numpy as np
+import jax
+import pytest
+
+from echoscene_tpu.data.fake import make_fake_dataset
+from echoscene_tpu.data.sgfront import SGFrontDataset
+from echoscene_tpu.data.collate import collate_scenes, CollateSpec
+from echoscene_tpu.models.config import (
+    EchoSceneConfig, LayoutDenoiserConfig, LayoutDiffusionConfig,
+    ShapeBranchConfig, ShapeDenoiserConfig, VQVAEConfig)
+from echoscene_tpu.models.sgdiff import SGDiff
+
+
+def tiny_config(network_type="echoscene") -> EchoSceneConfig:
+    return EchoSceneConfig(
+        network_type=network_type,
+        embedding_dim=8,
+        gconv_num_layers=2,
+        diffusion_bs=12,
+        max_nodes=24, max_triples=64, batch_scenes=3,
+        layout_denoiser=LayoutDenoiserConfig(
+            model_channels=16, channel_mult=(1, 1), num_res_blocks=1,
+            attention_resolutions=(2,), num_heads=4, concat_dim=32,
+            crossattn_dim=32, use_checkpoint=False),
+        layout_diffusion=LayoutDiffusionConfig(time_num=12),
+        shape_branch=ShapeBranchConfig(
+            ddim_steps=4,
+            denoiser=ShapeDenoiserConfig(
+                image_size=4, model_channels=8, num_res_blocks=1,
+                attention_resolutions=(2,), channel_mult=(1, 2), num_heads=2,
+                context_dim=32, timesteps=12, use_checkpoint=False),
+            vqvae=VQVAEConfig(n_embed=16, ch=4, ch_mult=(1, 2, 4),
+                              resolution=16)),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    make_fake_dataset(str(root), num_scenes=4, min_objs=3, max_objs=4,
+                      sdf_res=16, with_sdf=True)
+    ds = SGFrontDataset(str(root), use_sdf=True, with_changes=True, seed=3,
+                        sdf_res=16)
+    cfg = tiny_config()
+    spec = CollateSpec(max_nodes=cfg.max_nodes, max_triples=cfg.max_triples,
+                       max_scenes=cfg.batch_scenes,
+                       diffusion_bs=cfg.diffusion_bs, with_sdf=True,
+                       sdf_res=16)
+    batch = collate_scenes([ds[i] for i in range(3)], spec,
+                           sdf_loader=ds.load_sdf)
+    sg = SGDiff(cfg, num_objs=len(ds.classes), num_preds=len(ds.pred_names),
+                iou_stats=ds.box_stats)
+    state = sg.init(jax.random.PRNGKey(0), batch)
+    return ds, spec, batch, sg, state
+
+
+def test_init_param_structure(setup):
+    _, _, _, sg, state = setup
+    top = set(state.params.keys())
+    assert {"obj_embeddings_ec", "pred_embeddings_ec", "gconv_net_ec",
+            "gconv_net_manipulation", "rel_s_mlp", "layout_denoiser",
+            "shape_denoiser", "vqvae"} <= top
+
+
+def test_train_step_decreases_nan_free(setup):
+    _, _, batch, sg, state = setup
+    losses = []
+    for i in range(3):
+        state, metrics = sg.train_step(state, batch, jax.random.PRNGKey(i))
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss)
+        losses.append(loss)
+    assert int(state.step) == 3
+    for k in ["loss.size", "loss.trans", "loss.angle", "loss_simple"]:
+        assert np.isfinite(float(metrics[k]))
+
+
+def test_vqvae_frozen_under_training(setup):
+    _, _, batch, sg, state = setup
+    before = jax.tree.map(np.asarray, state.params["vqvae"])
+    state2, _ = sg.train_step(state, batch, jax.random.PRNGKey(9))
+    after = jax.tree.map(np.asarray, state2.params["vqvae"])
+    flat_b = jax.tree_util.tree_leaves(before)
+    flat_a = jax.tree_util.tree_leaves(after)
+    for b, a in zip(flat_b, flat_a):
+        assert np.array_equal(b, a)
+    # but the trainable parts moved
+    moved = jax.tree_util.tree_leaves(jax.tree.map(
+        lambda x, y: float(np.abs(np.asarray(x) - np.asarray(y)).max()),
+        state.params["layout_denoiser"], state2.params["layout_denoiser"]))
+    assert max(moved) > 0
+
+
+def test_sample_full_pipeline(setup):
+    _, _, batch, sg, state = setup
+    out = sg.sample_fn(state.params, state.batch_stats, batch,
+                       jax.random.PRNGKey(0), gen_shape=True)
+    n = batch.num_nodes
+    assert out["sizes"].shape == (n, 3)
+    assert out["translations"].shape == (n, 3)
+    assert out["angles"].shape == (n, 1)
+    assert np.isfinite(np.asarray(out["sizes"])).all()
+    shapes = np.asarray(out["shapes"])
+    assert shapes.shape == (n, 16, 16, 16, 1)
+    assert np.isfinite(shapes).all()
+
+
+def test_sample_with_manipulation_keep_mask(setup):
+    ds, spec, _, sg, state = setup
+    ds.eval_mode = True
+    ds.eval_type = "relationship"
+    ex = None
+    for i in range(len(ds)):
+        ex = ds[i]
+        if ex is not None and ex.manipulation_type == "relationship":
+            break
+    if ex is None or ex.manipulation_type != "relationship":
+        pytest.skip("no relationship-manipulable scene in fixture")
+    batch = collate_scenes([ex], spec, sdf_loader=ds.load_sdf)
+    out = sg.sample_fn(state.params, state.batch_stats, batch,
+                       jax.random.PRNGKey(1), gen_shape=False,
+                       with_manipulation=True)
+    keep = np.asarray(out["keep"])
+    assert (keep == 1 - np.asarray(batch.change_flags)).all()
+    ds.eval_mode = False
