@@ -1,0 +1,290 @@
+// echoscene_native: host-side geometry kernels for the eval pipeline.
+//
+// Native equivalents of the reference's C++/CUDA components:
+//   * chamfer nearest-neighbor distances  (extension/old_chamfer/chamfer.cu)
+//   * approximate EMD via auction         (scripts/StructuralLosses prebuilt lib)
+// plus the mesh machinery the reference outsources to python packages that are
+// not assumed here:
+//   * marching cubes (SDF grid -> triangle mesh; replaces mcubes)
+//   * area-weighted surface point sampling (replaces trimesh.sample)
+//
+// Exposed as a C ABI for ctypes (no pybind11 dependency).  Build: see Makefile.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+#include <random>
+#include <limits>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Chamfer: for each point in A find squared distance to nearest point in B.
+// Blocked brute force; O(N*M) but cache-friendly.  Mirrors the semantics of
+// NmDistanceKernel (chamfer.cu:12-133): squared L2, plus the matching index.
+// ---------------------------------------------------------------------------
+void nn_distance(const float* a, int n, const float* b, int m,
+                 float* dist_out, int* idx_out) {
+    constexpr int BLOCK = 256;
+    for (int i = 0; i < n; ++i) {
+        dist_out[i] = std::numeric_limits<float>::max();
+        idx_out[i] = -1;
+    }
+    for (int jb = 0; jb < m; jb += BLOCK) {
+        int je = std::min(m, jb + BLOCK);
+        for (int i = 0; i < n; ++i) {
+            const float ax = a[3 * i], ay = a[3 * i + 1], az = a[3 * i + 2];
+            float best = dist_out[i];
+            int besti = idx_out[i];
+            for (int j = jb; j < je; ++j) {
+                const float dx = ax - b[3 * j];
+                const float dy = ay - b[3 * j + 1];
+                const float dz = az - b[3 * j + 2];
+                const float d = dx * dx + dy * dy + dz * dz;
+                if (d < best) { best = d; besti = j; }
+            }
+            dist_out[i] = best;
+            idx_out[i] = besti;
+        }
+    }
+}
+
+// chamfer distance for a batch of pairs: returns per-pair
+// mean_i d(a_i->B) + mean_j d(b_j->A)   (compute_mmd_cov_1nn.py:88)
+void chamfer_batch(const float* a, const float* b, int bs, int n, int m,
+                   float* out) {
+    std::vector<float> da(n), db(m);
+    std::vector<int> ia(n), ib(m);
+    for (int k = 0; k < bs; ++k) {
+        const float* ak = a + (size_t)k * n * 3;
+        const float* bk = b + (size_t)k * m * 3;
+        nn_distance(ak, n, bk, m, da.data(), ia.data());
+        nn_distance(bk, m, ak, n, db.data(), ib.data());
+        double s1 = 0, s2 = 0;
+        for (int i = 0; i < n; ++i) s1 += da[i];
+        for (int j = 0; j < m; ++j) s2 += db[j];
+        out[k] = (float)(s1 / n + s2 / m);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Approximate EMD via auction algorithm (epsilon-scaled).  Upper-bounds the
+// exact assignment cost; same role as the reference's ApproxMatch/MatchCost.
+// Returns mean matched Euclidean distance.
+// ---------------------------------------------------------------------------
+float emd_auction_pair(const float* a, const float* b, int n, int iters) {
+    std::vector<float> price(n, 0.f);
+    std::vector<int> owner(n, -1);       // owner[j] = row owning column j
+    std::vector<int> assign(n, -1);      // assign[i] = column owned by row i
+    std::vector<float> dist((size_t)n * n);
+    double dsum = 0;
+    for (int i = 0; i < n; ++i)
+        for (int j = 0; j < n; ++j) {
+            const float dx = a[3 * i] - b[3 * j];
+            const float dy = a[3 * i + 1] - b[3 * j + 1];
+            const float dz = a[3 * i + 2] - b[3 * j + 2];
+            const float d = std::sqrt(dx * dx + dy * dy + dz * dz);
+            dist[(size_t)i * n + j] = d;
+            dsum += d;
+        }
+    const float eps = (float)(0.01 * dsum / ((double)n * n) + 1e-9);
+
+    std::vector<int> unassigned;
+    unassigned.reserve(n);
+    for (int i = 0; i < n; ++i) unassigned.push_back(i);
+
+    for (int it = 0; it < iters && !unassigned.empty(); ++it) {
+        std::vector<int> next_unassigned;
+        for (int i : unassigned) {
+            // find best and second-best column for row i
+            const float* di = dist.data() + (size_t)i * n;
+            float best = std::numeric_limits<float>::max(), second = best;
+            int bj = -1;
+            for (int j = 0; j < n; ++j) {
+                const float c = di[j] + price[j];
+                if (c < best) { second = best; best = c; bj = j; }
+                else if (c < second) { second = c; }
+            }
+            price[bj] += (second - best) + eps;
+            int prev = owner[bj];
+            owner[bj] = i;
+            assign[i] = bj;
+            if (prev >= 0) { assign[prev] = -1; next_unassigned.push_back(prev); }
+        }
+        unassigned.swap(next_unassigned);
+    }
+    // greedy cleanup for anything still unassigned after the iteration cap
+    for (int i = 0; i < n; ++i) {
+        if (assign[i] >= 0) continue;
+        const float* di = dist.data() + (size_t)i * n;
+        float best = std::numeric_limits<float>::max();
+        int bj = -1;
+        for (int j = 0; j < n; ++j)
+            if (owner[j] < 0 && di[j] < best) { best = di[j]; bj = j; }
+        if (bj < 0) {  // all owned: steal nearest
+            for (int j = 0; j < n; ++j)
+                if (di[j] < best) { best = di[j]; bj = j; }
+        } else {
+            owner[bj] = i;
+        }
+        assign[i] = bj;
+    }
+    double total = 0;
+    for (int i = 0; i < n; ++i) total += dist[(size_t)i * n + assign[i]];
+    return (float)(total / n);
+}
+
+void emd_batch(const float* a, const float* b, int bs, int n, int iters,
+               float* out) {
+    for (int k = 0; k < bs; ++k)
+        out[k] = emd_auction_pair(a + (size_t)k * n * 3,
+                                  b + (size_t)k * n * 3, n, iters);
+}
+
+// ---------------------------------------------------------------------------
+// Isosurface extraction via marching TETRAHEDRA: each cell is split into six
+// tetrahedra; a tet crossed by the isosurface emits one or two triangles with
+// vertices linearly interpolated along crossing edges.  Table-free, crack-free
+// (shared diagonals), adequate for the SDF->mesh uses here (point sampling,
+// rendering) — the role mcubes plays in the reference
+// (model/diff_utils/util_3d.py:194-236).
+// ---------------------------------------------------------------------------
+static inline void vert_interp(float level, const float* p1, const float* p2,
+                               float v1, float v2, float* out) {
+    float mu = (std::fabs(v2 - v1) > 1e-12f) ? (level - v1) / (v2 - v1) : 0.5f;
+    if (mu < 0.f) mu = 0.f;
+    if (mu > 1.f) mu = 1.f;
+    out[0] = p1[0] + mu * (p2[0] - p1[0]);
+    out[1] = p1[1] + mu * (p2[1] - p1[1]);
+    out[2] = p1[2] + mu * (p2[2] - p1[2]);
+}
+
+// emit triangles for one tetrahedron; returns triangles written (0..2)
+static int do_tet(float level, const float p[4][3], const float v[4],
+                  float* verts_out, int32_t* tris_out, int nv, int nt,
+                  int max_verts, int max_tris) {
+    int inside = 0;
+    for (int i = 0; i < 4; ++i)
+        if (v[i] < level) inside |= (1 << i);
+    if (inside == 0 || inside == 15) return 0;
+
+    // collect crossing edges (pairs with differing sides)
+    static const int E[6][2] = {{0,1},{0,2},{0,3},{1,2},{1,3},{2,3}};
+    float pts[4][3];
+    int np = 0;
+    for (int e = 0; e < 6; ++e) {
+        const int a = E[e][0], b = E[e][1];
+        const bool ia = (inside >> a) & 1, ib = (inside >> b) & 1;
+        if (ia != ib && np < 4)
+            vert_interp(level, p[a], p[b], v[a], v[b], pts[np++]);
+    }
+    int emitted = 0;
+    auto emit = [&](int i0, int i1, int i2) {
+        if (nt + emitted >= max_tris || nv + 3 * (emitted + 1) > max_verts)
+            return;
+        float* vo = verts_out + 3 * (nv + 3 * emitted);
+        int32_t* to = tris_out + 3 * (nt + emitted);
+        const int idx[3] = {i0, i1, i2};
+        for (int k = 0; k < 3; ++k) {
+            std::memcpy(vo + 3 * k, pts[idx[k]], 3 * sizeof(float));
+            to[k] = nv + 3 * emitted + k;
+        }
+        ++emitted;
+    };
+    if (np == 3) {
+        emit(0, 1, 2);
+    } else if (np == 4) {
+        // quad -> two triangles.  Crossing edges were enumerated in a fixed
+        // order; (0,1,2) and (1,3,2) triangulate the quad without folding for
+        // the one-in/one-out == 2/2 split cases.
+        emit(0, 1, 2);
+        emit(1, 3, 2);
+    }
+    return emitted;
+}
+
+// returns number of triangles written; caller provides capacities.
+int marching_cubes(const float* grid, int res, float level,
+                   float* verts_out, int max_verts,
+                   int32_t* tris_out, int max_tris) {
+    int nv = 0, nt = 0;
+    const int r = res, r2 = res * res;
+    auto G = [&](int x, int y, int z) -> float {
+        return grid[(size_t)x * r2 + (size_t)y * r + z];
+    };
+    static const int cx[8] = {0, 1, 1, 0, 0, 1, 1, 0};
+    static const int cy[8] = {0, 0, 1, 1, 0, 0, 1, 1};
+    static const int cz[8] = {0, 0, 0, 0, 1, 1, 1, 1};
+    // six tetrahedra sharing the 0-6 diagonal
+    static const int TETS[6][4] = {
+        {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},
+        {0, 3, 7, 6}, {0, 7, 4, 6}, {0, 4, 5, 6}};
+
+    float cube[8];
+    float pos[8][3];
+    for (int x = 0; x < res - 1; ++x)
+        for (int y = 0; y < res - 1; ++y)
+            for (int z = 0; z < res - 1; ++z) {
+                bool any_in = false, any_out = false;
+                for (int c = 0; c < 8; ++c) {
+                    const int xx = x + cx[c], yy = y + cy[c], zz = z + cz[c];
+                    cube[c] = G(xx, yy, zz);
+                    pos[c][0] = (float)xx;
+                    pos[c][1] = (float)yy;
+                    pos[c][2] = (float)zz;
+                    (cube[c] < level ? any_in : any_out) = true;
+                }
+                if (!any_in || !any_out) continue;
+                for (int t = 0; t < 6; ++t) {
+                    float tp[4][3], tv[4];
+                    for (int k = 0; k < 4; ++k) {
+                        std::memcpy(tp[k], pos[TETS[t][k]], 3 * sizeof(float));
+                        tv[k] = cube[TETS[t][k]];
+                    }
+                    const int made = do_tet(level, tp, tv, verts_out, tris_out,
+                                            nv, nt, max_verts, max_tris);
+                    nt += made;
+                    nv += 3 * made;
+                }
+            }
+    return nt;
+}
+
+// ---------------------------------------------------------------------------
+// Area-weighted uniform surface sampling of a triangle soup.
+// ---------------------------------------------------------------------------
+void sample_mesh(const float* verts, const int32_t* tris, int n_tris,
+                 int n_samples, uint64_t seed, float* out) {
+    std::vector<double> cum(n_tris);
+    double total = 0;
+    for (int t = 0; t < n_tris; ++t) {
+        const float* A = verts + 3 * tris[3 * t];
+        const float* B = verts + 3 * tris[3 * t + 1];
+        const float* C = verts + 3 * tris[3 * t + 2];
+        const double ux = B[0] - A[0], uy = B[1] - A[1], uz = B[2] - A[2];
+        const double vx = C[0] - A[0], vy = C[1] - A[1], vz = C[2] - A[2];
+        const double nx = uy * vz - uz * vy;
+        const double ny = uz * vx - ux * vz;
+        const double nz = ux * vy - uy * vx;
+        total += 0.5 * std::sqrt(nx * nx + ny * ny + nz * nz);
+        cum[t] = total;
+    }
+    std::mt19937_64 rng(seed);
+    std::uniform_real_distribution<double> uni(0.0, 1.0);
+    for (int s = 0; s < n_samples; ++s) {
+        double r = uni(rng) * total;
+        int t = (int)(std::lower_bound(cum.begin(), cum.end(), r) - cum.begin());
+        if (t >= n_tris) t = n_tris - 1;
+        const float* A = verts + 3 * tris[3 * t];
+        const float* B = verts + 3 * tris[3 * t + 1];
+        const float* C = verts + 3 * tris[3 * t + 2];
+        double u = uni(rng), v = uni(rng);
+        if (u + v > 1.0) { u = 1.0 - u; v = 1.0 - v; }
+        for (int k = 0; k < 3; ++k)
+            out[3 * s + k] = (float)(A[k] + u * (B[k] - A[k]) + v * (C[k] - A[k]));
+    }
+}
+
+}  // extern "C"

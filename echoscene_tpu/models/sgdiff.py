@@ -228,9 +228,12 @@ class SGDiff:
 
         return make
 
-    def train_step(self, state: TrainState, batch: SceneBatch, rng: jax.Array):
+    def train_step(self, state: TrainState, batch: SceneBatch, rng: jax.Array,
+                   donate: bool = False):
+        """One optimizer step.  `donate=True` (used by the Trainer) donates the
+        input state's buffers — callers must not reuse it afterwards."""
         if self._train_step is None:
-            self._train_step = self.build_train_step()(state)
+            self._train_step = self.build_train_step(donate=donate)(state)
         return self._train_step(state, batch, rng)
 
     # ------------------------------------------------------------------

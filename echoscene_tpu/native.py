@@ -1,0 +1,163 @@
+"""ctypes bindings for the C++ geometry library (cpp/echoscene_native.cpp)
+with pure-NumPy fallbacks.
+
+Native equivalents of the reference's compiled components (SURVEY.md §2.4):
+chamfer nn-distance (extension/old_chamfer), approximate EMD
+(scripts/StructuralLosses), plus marching-tetrahedra isosurface extraction and
+area-weighted mesh sampling (the roles of mcubes/trimesh in the reference's
+eval path).  The library is built lazily on first use (`make -C cpp`).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO = os.path.join(_REPO, "cpp", "libechoscene_native.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", os.path.join(_REPO, "cpp")],
+                           check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.chamfer_batch.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, f32p]
+    lib.emd_batch.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int,
+                              ctypes.c_int, f32p]
+    lib.nn_distance.argtypes = [f32p, ctypes.c_int, f32p, ctypes.c_int,
+                                f32p, i32p]
+    lib.marching_cubes.restype = ctypes.c_int
+    lib.marching_cubes.argtypes = [f32p, ctypes.c_int, ctypes.c_float,
+                                   f32p, ctypes.c_int, i32p, ctypes.c_int]
+    lib.sample_mesh.argtypes = [f32p, i32p, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_uint64, f32p]
+    _LIB = lib
+    return lib
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _ip(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def chamfer_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """a: (B,N,3), b: (B,M,3) -> (B,) chamfer (sum of both mean sq dists)."""
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    lib = _load()
+    if lib is None:
+        from .eval.pointcloud_metrics import chamfer_distance
+        return chamfer_distance(a, b)
+    out = np.zeros(a.shape[0], np.float32)
+    lib.chamfer_batch(_fp(a), _fp(b), a.shape[0], a.shape[1], b.shape[1],
+                      _fp(out))
+    return out
+
+
+def emd_batch(a: np.ndarray, b: np.ndarray, iters: int = 30) -> np.ndarray:
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    lib = _load()
+    if lib is None:
+        from .eval.pointcloud_metrics import emd_exact
+        return emd_exact(a, b).astype(np.float32)
+    out = np.zeros(a.shape[0], np.float32)
+    lib.emd_batch(_fp(a), _fp(b), a.shape[0], a.shape[1], iters, _fp(out))
+    return out
+
+
+def marching_cubes(grid: np.ndarray, level: float = 0.0,
+                   max_tris: int = 400000) -> Tuple[np.ndarray, np.ndarray]:
+    """grid: (R,R,R) SDF -> (verts (V,3) in voxel units, tris (T,3) int32)."""
+    grid = np.ascontiguousarray(grid, np.float32)
+    res = grid.shape[0]
+    lib = _load()
+    if lib is None:
+        return _marching_tetrahedra_numpy(grid, level)
+    verts = np.zeros((max_tris * 3, 3), np.float32)
+    tris = np.zeros((max_tris, 3), np.int32)
+    nt = lib.marching_cubes(_fp(grid), res, ctypes.c_float(level),
+                            _fp(verts), max_tris * 3, _ip(tris), max_tris)
+    return verts[:nt * 3].copy(), tris[:nt].copy()
+
+
+def sample_mesh(verts: np.ndarray, tris: np.ndarray, n_samples: int,
+                seed: int = 0) -> np.ndarray:
+    verts = np.ascontiguousarray(verts, np.float32)
+    tris = np.ascontiguousarray(tris, np.int32)
+    if len(tris) == 0:
+        return np.zeros((n_samples, 3), np.float32)
+    lib = _load()
+    if lib is None:
+        return _sample_mesh_numpy(verts, tris, n_samples, seed)
+    out = np.zeros((n_samples, 3), np.float32)
+    lib.sample_mesh(_fp(verts), _ip(tris), tris.shape[0], n_samples,
+                    ctypes.c_uint64(seed), _fp(out))
+    return out
+
+
+def sdf_to_point_cloud(grid: np.ndarray, n_points: int = 5000,
+                       level: float = 0.0, seed: int = 0,
+                       normalize: bool = True) -> np.ndarray:
+    """SDF grid -> surface point cloud (the consistency/MMD input format).
+
+    Mirrors sdf->mesh->sample (consistency_check.py:77-89): voxel coords are
+    mapped to [-1, 1] and optionally recentred/rescaled to the unit sphere.
+    """
+    verts, tris = marching_cubes(grid, level)
+    if len(tris) == 0:
+        return np.zeros((n_points, 3), np.float32)
+    pts = sample_mesh(verts, tris, n_points, seed)
+    res = grid.shape[0]
+    pts = pts / (res - 1) * 2.0 - 1.0
+    if normalize:
+        center = (pts.max(0) + pts.min(0)) / 2
+        pts = pts - center
+        scale = np.abs(pts).max() + 1e-8
+        pts = pts / scale * 0.5
+    return pts.astype(np.float32)
+
+
+# --- NumPy fallbacks -------------------------------------------------------
+def _sample_mesh_numpy(verts, tris, n_samples, seed):
+    rng = np.random.default_rng(seed)
+    v0, v1, v2 = (verts[tris[:, k]] for k in range(3))
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    probs = areas / (areas.sum() + 1e-12)
+    idx = rng.choice(len(tris), size=n_samples, p=probs)
+    u = rng.random(n_samples)
+    v = rng.random(n_samples)
+    flip = u + v > 1
+    u[flip], v[flip] = 1 - u[flip], 1 - v[flip]
+    return (v0[idx] + u[:, None] * (v1[idx] - v0[idx])
+            + v[:, None] * (v2[idx] - v0[idx])).astype(np.float32)
+
+
+def _marching_tetrahedra_numpy(grid, level):  # pragma: no cover - slow path
+    raise RuntimeError(
+        "native library unavailable and no numpy marching cubes fallback; "
+        "build cpp/ (make -C cpp)")

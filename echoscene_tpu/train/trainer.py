@@ -148,7 +148,8 @@ class Trainer:
                     self.latent_lookup))
                 for batch in it:
                     self.key, sk = jax.random.split(self.key)
-                    state, metrics = self.sgdiff.train_step(state, batch, sk)
+                    state, metrics = self.sgdiff.train_step(state, batch, sk,
+                                                            donate=True)
                     counter += 1
                     steps_done += 1
                     if counter % self.log_every == 0:
