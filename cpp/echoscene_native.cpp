@@ -287,4 +287,81 @@ void sample_mesh(const float* verts, const int32_t* tris, int n_tris,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Minimal perspective rasterizer with z-buffer and Lambertian shading —
+// the software replacement for the reference's pyrender EGL offscreen
+// top-down renders (helpers/visualize_scene.py:122-153): perspective camera
+// (yfov pi/2) at (0, 8, 0) looking at the origin, up = -z, headlight.
+// verts: (V,3) world; tris: (T,3); colors: (T,3) float 0..1 per triangle.
+// image_out: (H,W,3) uint8, row-major, background white.
+// ---------------------------------------------------------------------------
+void rasterize_topdown(const float* verts, const int32_t* tris,
+                       const float* colors, int n_tris,
+                       float cam_height, float yfov,
+                       uint8_t* image_out, int width, int height) {
+    const float f = 1.0f / std::tan(yfov * 0.5f);   // focal (y)
+    const float aspect = (float)width / (float)height;
+    std::vector<float> zbuf((size_t)width * height,
+                            std::numeric_limits<float>::max());
+    std::memset(image_out, 255, (size_t)width * height * 3);
+
+    // camera at (0, h, 0), forward = -y, right = +x, up(view) = -z
+    auto to_cam = [&](const float* p, float* out) {
+        out[0] = p[0];                 // right
+        out[1] = -p[2];                // up in view = -z world
+        out[2] = cam_height - p[1];    // depth along -y (positive in front)
+    };
+    const float Ld[3] = {0.f, 1.f, 0.f};  // headlight from above
+
+    for (int t = 0; t < n_tris; ++t) {
+        const float* A = verts + 3 * tris[3 * t];
+        const float* B = verts + 3 * tris[3 * t + 1];
+        const float* C = verts + 3 * tris[3 * t + 2];
+        float a[3], b[3], c[3];
+        to_cam(A, a); to_cam(B, b); to_cam(C, c);
+        if (a[2] <= 1e-4f || b[2] <= 1e-4f || c[2] <= 1e-4f) continue;
+        // project
+        auto px = [&](const float* v, float* sx, float* sy) {
+            *sx = (v[0] * f / aspect / v[2] * 0.5f + 0.5f) * width;
+            *sy = (1.0f - (v[1] * f / v[2] * 0.5f + 0.5f)) * height;
+        };
+        float ax, ay, bx, by, cx, cy;
+        px(a, &ax, &ay); px(b, &bx, &by); px(c, &cx, &cy);
+        // normal / shading (world-space)
+        const float ux = B[0]-A[0], uy = B[1]-A[1], uz = B[2]-A[2];
+        const float vx = C[0]-A[0], vy = C[1]-A[1], vz = C[2]-A[2];
+        float nx = uy*vz - uz*vy, ny = uz*vx - ux*vz, nz = ux*vy - uy*vx;
+        const float nl = std::sqrt(nx*nx + ny*ny + nz*nz) + 1e-12f;
+        nx /= nl; ny /= nl; nz /= nl;
+        float lam = std::fabs(nx*Ld[0] + ny*Ld[1] + nz*Ld[2]);
+        lam = 0.35f + 0.65f * lam;
+        const float cr = colors[3*t] * lam, cg = colors[3*t+1] * lam,
+                    cb = colors[3*t+2] * lam;
+
+        const int x0 = std::max(0, (int)std::floor(std::min({ax, bx, cx})));
+        const int x1 = std::min(width - 1, (int)std::ceil(std::max({ax, bx, cx})));
+        const int y0 = std::max(0, (int)std::floor(std::min({ay, by, cy})));
+        const int y1 = std::min(height - 1, (int)std::ceil(std::max({ay, by, cy})));
+        const float det = (bx-ax)*(cy-ay) - (by-ay)*(cx-ax);
+        if (std::fabs(det) < 1e-12f) continue;
+        for (int y = y0; y <= y1; ++y)
+            for (int x = x0; x <= x1; ++x) {
+                const float pxc = x + 0.5f, pyc = y + 0.5f;
+                const float w0 = ((bx-pxc)*(cy-pyc) - (by-pyc)*(cx-pxc)) / det;
+                const float w1 = ((cx-pxc)*(ay-pyc) - (cy-pyc)*(ax-pxc)) / det;
+                const float w2 = 1.f - w0 - w1;
+                if (w0 < 0 || w1 < 0 || w2 < 0) continue;
+                const float z = w0*a[2] + w1*b[2] + w2*c[2];
+                float* zb = &zbuf[(size_t)y * width + x];
+                if (z < *zb) {
+                    *zb = z;
+                    uint8_t* px8 = image_out + ((size_t)y * width + x) * 3;
+                    px8[0] = (uint8_t)std::min(255.f, cr * 255.f);
+                    px8[1] = (uint8_t)std::min(255.f, cg * 255.f);
+                    px8[2] = (uint8_t)std::min(255.f, cb * 255.f);
+                }
+            }
+    }
+}
+
 }  // extern "C"

@@ -1,0 +1,201 @@
+"""Scene assembly + top-down rendering (the FID input images).
+
+Behavioral reference: helpers/visualize_scene.py (render_full :241-326,
+render_box :156-239, render_img :122-153) and helpers/util.py
+fit_shapes_to_box_v2 (:158-189) / get_rotation_3dfront (:507-513).
+Pipeline: per-object SDF grid -> isosurface mesh (native marching
+tetrahedra) -> canonical correction (-pi/2 yaw, bottom-center origin) ->
+anisotropic scale into the predicted box -> yaw + translate into the scene ->
+floor plane -> software top-down perspective render at y=8, yfov=pi/2, 256^2
+(the reference's pyrender camera), exported via the native rasterizer.
+
+Mesh/texture fidelity intentionally simplified to flat per-class colors —
+the FID protocol compares distributions of these renders between real and
+generated scenes, both produced by THIS renderer.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import native
+
+
+def get_rotation_3dfront(y_rad: float) -> np.ndarray:
+    """Yaw about +y (helpers/util.py:507-513, radians)."""
+    c, s = np.cos(y_rad), np.sin(y_rad)
+    return np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float64)
+
+
+def class_color(name: str) -> np.ndarray:
+    h = hashlib.sha256(name.encode()).digest()
+    return (np.array([h[0], h[1], h[2]], np.float32) / 255.0) * 0.7 + 0.2
+
+
+def fit_verts_to_box(verts: np.ndarray, box7: Sequence[float]) -> np.ndarray:
+    """Place canonical mesh verts into a world box (fit_shapes_to_box_v2).
+
+    verts: (V, 3) arbitrary units.  box7 = [l, h, w, px, py, pz, angle];
+    (px,py,pz) bottom center, angle = yaw (radians).
+    """
+    l, h, w, px, py, pz, angle = [float(v) for v in box7]
+    v = np.asarray(verts, np.float64).copy()
+    # bottom-center the canonical mesh then apply the -pi/2 yaw correction
+    lo, hi = v.min(0), v.max(0)
+    center = (lo + hi) / 2
+    center[1] = lo[1]
+    v -= center
+    v = v @ get_rotation_3dfront(-np.pi / 2).T
+    # normalize extent per axis, scale to box
+    ext = v.max(0) - v.min(0)
+    ext[ext < 1e-8] = 1.0
+    v = v / ext * np.array([l, h, w])
+    # yaw + translate (T = [R_inv | t], fit_shapes_to_box_v2 :176-185)
+    R_inv = np.linalg.inv(get_rotation_3dfront(angle))
+    v = v @ R_inv.T + np.array([px, py, pz])
+    return v.astype(np.float32)
+
+
+def box_mesh(box7: Sequence[float]) -> Tuple[np.ndarray, np.ndarray]:
+    """Solid box mesh (12 tris) for layout-only rendering (render_box)."""
+    l, h, w, px, py, pz, angle = [float(v) for v in box7]
+    xs = np.array([-w / 2, w / 2])
+    ys = np.array([0.0, h])
+    zs = np.array([-l / 2, l / 2])
+    corners = np.array([[x, y, z] for x in xs for y in ys for z in zs])
+    R = np.linalg.inv(get_rotation_3dfront(angle))
+    corners = corners @ R.T + np.array([px, py, pz])
+    faces = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6]], np.int32)
+    return corners.astype(np.float32), faces
+
+
+def sdf_to_canonical_mesh(sdf_grid: np.ndarray, level: float = 0.0):
+    """SDF grid -> mesh in [-1, 1]^3 voxel-centered coordinates."""
+    grid = np.asarray(sdf_grid, np.float32)
+    if grid.ndim == 4:
+        grid = grid[..., 0]
+    verts, tris = native.marching_cubes(grid, level)
+    if len(tris) == 0:
+        return verts, tris
+    res = grid.shape[0]
+    verts = verts / (res - 1) * 2.0 - 1.0
+    return verts, tris
+
+
+def assemble_scene(objs: Sequence[int], boxes7: np.ndarray,
+                   class_names: Sequence[str],
+                   sdfs: Optional[np.ndarray] = None,
+                   skip_classes: Sequence[str] = ("_scene_",),
+                   without_lamp: bool = True,
+                   floor_extent: float = 5.0):
+    """-> (verts (V,3), tris (T,3), tri_colors (T,3)) for the whole scene."""
+    all_v: List[np.ndarray] = []
+    all_t: List[np.ndarray] = []
+    all_c: List[np.ndarray] = []
+    off = 0
+
+    def add(v, t, color):
+        nonlocal off
+        if len(t) == 0:
+            return
+        all_v.append(v)
+        all_t.append(t + off)
+        all_c.append(np.tile(color[None], (len(t), 1)))
+        off += len(v)
+
+    # floor plane (create_bg analog, helpers/visualize_scene.py:58-118)
+    fv = np.array([[-floor_extent, 0, -floor_extent],
+                   [floor_extent, 0, -floor_extent],
+                   [floor_extent, 0, floor_extent],
+                   [-floor_extent, 0, floor_extent]], np.float32)
+    add(fv, np.array([[0, 2, 1], [0, 3, 2]], np.int32),
+        np.array([0.85, 0.85, 0.85], np.float32))
+
+    for i, cid in enumerate(objs):
+        name = class_names[int(cid)].rstrip("\n")
+        if name in skip_classes:
+            continue
+        if without_lamp and name == "lamp":
+            continue
+        if sdfs is not None and np.abs(sdfs[i]).sum() > 1e-6:
+            cv, ct = sdf_to_canonical_mesh(sdfs[i])
+            if len(ct) == 0:
+                cv, ct = box_mesh(boxes7[i])
+                add(cv, ct, class_color(name))
+                continue
+            cv = fit_verts_to_box(cv, boxes7[i])
+            add(cv, ct, class_color(name))
+        else:
+            cv, ct = box_mesh(boxes7[i])
+            add(cv, ct, class_color(name))
+
+    if not all_v:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32),
+                np.zeros((0, 3), np.float32))
+    return (np.concatenate(all_v), np.concatenate(all_t).astype(np.int32),
+            np.concatenate(all_c))
+
+
+def render_scene_topdown(objs, boxes7, class_names, sdfs=None,
+                         image_size: int = 256, **kw) -> np.ndarray:
+    verts, tris, colors = assemble_scene(objs, boxes7, class_names, sdfs, **kw)
+    return native.rasterize_topdown(verts, tris, colors,
+                                    width=image_size, height=image_size)
+
+
+def save_png(img: np.ndarray, path: str):
+    from PIL import Image
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(img).save(path)
+
+
+def export_obj(path: str, verts: np.ndarray, tris: np.ndarray):
+    """ASCII OBJ export (render_full's per-object .obj outputs)."""
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for t in tris:
+            f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")
+
+
+def export_ply(path: str, verts: np.ndarray, tris: Optional[np.ndarray] = None):
+    """ASCII PLY writer (dataset/util.py:5-109 role)."""
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if tris is not None:
+            f.write(f"element face {len(tris)}\n")
+            f.write("property list uchar int vertex_indices\n")
+        f.write("end_header\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        if tris is not None:
+            for t in tris:
+                f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def read_ply(path: str):
+    """Minimal ASCII PLY reader (dataset/util.py role)."""
+    with open(path) as f:
+        assert f.readline().strip() == "ply"
+        n_verts = n_faces = 0
+        line = f.readline()
+        while line and not line.startswith("end_header"):
+            parts = line.split()
+            if parts[0] == "element" and parts[1] == "vertex":
+                n_verts = int(parts[2])
+            if parts[0] == "element" and parts[1] == "face":
+                n_faces = int(parts[2])
+            line = f.readline()
+        verts = np.array([[float(x) for x in f.readline().split()[:3]]
+                          for _ in range(n_verts)], np.float32)
+        faces = np.array([[int(x) for x in f.readline().split()[1:4]]
+                          for _ in range(n_faces)], np.int32) if n_faces else None
+    return verts, faces

@@ -48,6 +48,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                    f32p, ctypes.c_int, i32p, ctypes.c_int]
     lib.sample_mesh.argtypes = [f32p, i32p, ctypes.c_int, ctypes.c_int,
                                 ctypes.c_uint64, f32p]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rasterize_topdown.argtypes = [f32p, i32p, f32p, ctypes.c_int,
+                                      ctypes.c_float, ctypes.c_float,
+                                      u8p, ctypes.c_int, ctypes.c_int]
     _LIB = lib
     return lib
 
@@ -140,6 +144,30 @@ def sdf_to_point_cloud(grid: np.ndarray, n_points: int = 5000,
         scale = np.abs(pts).max() + 1e-8
         pts = pts / scale * 0.5
     return pts.astype(np.float32)
+
+
+def rasterize_topdown(verts: np.ndarray, tris: np.ndarray,
+                      tri_colors: np.ndarray, width: int = 256,
+                      height: int = 256, cam_height: float = 8.0,
+                      yfov: float = np.pi / 2) -> np.ndarray:
+    """Top-down perspective render -> (H, W, 3) uint8.
+
+    Software replacement for the reference's pyrender offscreen renderer
+    (helpers/visualize_scene.py:122-153): camera at (0, cam_height, 0) looking
+    at the origin, up = -z, yfov pi/2.
+    """
+    verts = np.ascontiguousarray(verts, np.float32)
+    tris = np.ascontiguousarray(tris, np.int32)
+    tri_colors = np.ascontiguousarray(tri_colors, np.float32)
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native rasterizer unavailable (make -C cpp)")
+    img = np.zeros((height, width, 3), np.uint8)
+    lib.rasterize_topdown(
+        _fp(verts), _ip(tris), _fp(tri_colors), tris.shape[0],
+        ctypes.c_float(cam_height), ctypes.c_float(yfov),
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), width, height)
+    return img
 
 
 # --- NumPy fallbacks -------------------------------------------------------
