@@ -48,7 +48,6 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         mask is None
         and q.shape[1] == k.shape[1]
         and q.shape[1] >= PALLAS_MIN_SEQ
-        and q.shape[-1] % 128 == 0
         and jax.default_backend() == "tpu"
     )
     if use_pallas:
