@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import time
 
-REFERENCE_SCENES_PER_SEC = 0.09 * 8  # scenes/sec for an 8-scene batch
+REFERENCE_SCENES_PER_SEC = 0.72  # see BASELINE.md reference-cost model
 
 
 def main():

@@ -118,7 +118,9 @@ class SGDiff:
     def init(self, rng: jax.Array, batch: SceneBatch) -> TrainState:
         n = batch.num_nodes
         change = jnp.zeros((n, self.cfg.embedding_dim))
-        variables = self.module.init(rng, batch, change)
+        # jit the whole init program: at flagship size (~260M params) eager
+        # per-op init on a single CPU core takes ~15 min; compiled it's fast
+        variables = jax.jit(self.module.init)(rng, batch, change)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         tx = make_optimizer(self.cfg, params)

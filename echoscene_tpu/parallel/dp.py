@@ -25,8 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.sgdiff import SGDiff, TrainState, clip_and_sanitize_grads
 
 
-def build_dp_train_step(sgdiff: SGDiff, mesh: Mesh,
-                        axis: str = "data") -> Callable:
+def build_dp_train_step(sgdiff: SGDiff, mesh: Mesh, axis: str = "data",
+                        donate: bool = False) -> Callable:
     """Returns step(state, stacked_batch, rngs) -> (state, metrics).
 
     stacked_batch: a SceneBatch pytree whose arrays have a leading device
@@ -61,7 +61,7 @@ def build_dp_train_step(sgdiff: SGDiff, mesh: Mesh,
             in_specs=(P(), P(axis), P(axis)),
             out_specs=(P(), P()),
             check_vma=False)
-        return jax.jit(mapped, donate_argnums=(0,))
+        return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 
     return make
 

@@ -35,6 +35,8 @@ def setup(tmp_path_factory):
 
 def test_trainer_runs_steps_and_saves(setup, tmp_path):
     ds, spec, sg, state = setup
+    # the trainer donates its input state's buffers; keep the fixture's copy
+    state = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x, state)
     exp = str(tmp_path / "exp")
     trainer = Trainer(sg, ds, spec, exp, batch_scenes=3, log_every=1,
                       ckpt_every_epochs=1)
