@@ -129,13 +129,16 @@ def ddim_timesteps(num_ddim_steps: int, num_ddpm_steps: int,
                    method: Literal["uniform", "quad"] = "uniform") -> np.ndarray:
     """DDIM sub-schedule (ldm_diffusion_util.py:68-82), incl. the +1 shift."""
     if method == "uniform":
-        c = num_ddpm_steps // num_ddim_steps
+        c = max(1, num_ddpm_steps // num_ddim_steps)
         steps = np.asarray(list(range(0, num_ddpm_steps, c)))
     elif method == "quad":
         steps = ((np.linspace(0, np.sqrt(num_ddpm_steps * 0.8), num_ddim_steps)) ** 2).astype(int)
     else:
         raise NotImplementedError(method)
-    return steps + 1
+    # +1 shift per the reference (ldm_diffusion_util.py:79); clamp keeps the
+    # table index valid when num_ddim_steps ~ num_ddpm_steps (test scale)
+    steps = steps + 1
+    return steps[steps < num_ddpm_steps]
 
 
 @dataclasses.dataclass(frozen=True)

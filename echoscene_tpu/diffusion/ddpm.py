@@ -45,7 +45,7 @@ class LayoutDiffusion:
                  model_mean_type: str = "eps",
                  model_var_type: str = "fixedsmall",
                  size_dim: int = 3, translation_dim: int = 3, angle_dim: int = 2,
-                 loss_iou: bool = False,
+                 loss_iou: bool = False, iou_type: str = "aabb",
                  iou_stats: Optional[jnp.ndarray] = None):
         import dataclasses
         self.t = dataclasses.replace(tables, **{
@@ -59,6 +59,7 @@ class LayoutDiffusion:
         self.angle_dim = angle_dim
         self.bbox_dim = size_dim + translation_dim + angle_dim
         self.loss_iou = loss_iou
+        self.iou_type = iou_type
         self.iou_stats = iou_stats
         self._fixedlarge_logvar = jnp.asarray(tables.fixedlarge_log_variance())
 
@@ -127,10 +128,11 @@ class LayoutDiffusion:
         }
 
     def iou_loss(self, x_t, t, pred, same_scene, obj_mask):
-        """Axis-aligned IoU collision penalty (diffusion_ddpm.py:384-426).
-
-        Descale the predicted boxes to world units, compute pairwise
-        axis-aligned IoU between same-scene boxes, weight by alpha_cumprod(t).
+        """IoU collision penalty (diffusion_ddpm.py:384-426): descale predicted
+        boxes to world units, pairwise same-scene overlap, weighted by
+        alpha_cumprod(t).  iou_type 'aabb' = axis-aligned exact; 'obb' =
+        differentiable soft rotated overlap (core/box_overlap.py — the
+        reference's own obb path is unreachable, its import is commented out).
         """
         if self.model_mean_type == "eps":
             x_recon = self.predict_xstart_from_eps(x_t, t, pred)
@@ -138,15 +140,21 @@ class LayoutDiffusion:
             x_recon = pred
         assert self.iou_stats is not None, "loss_iou requires box stats"
         boxes = descale_box_params(x_recon[:, :6], self.iou_stats)
-        size, center = boxes[:, :3], boxes[:, 3:6]
-        lo = center - size / 2.0
-        hi = center + size / 2.0
-        inter_lo = jnp.maximum(lo[:, None, :], lo[None, :, :])
-        inter_hi = jnp.minimum(hi[:, None, :], hi[None, :, :])
-        inter = jnp.prod(jnp.clip(inter_hi - inter_lo, 0.0, None), axis=-1)
-        vol = jnp.prod(jnp.clip(hi - lo, 0.0, None), axis=-1)
-        union = vol[:, None] + vol[None, :] - inter
-        iou = inter / jnp.maximum(union, 1e-8)
+        if self.iou_type == "obb":
+            from ..core.box_overlap import soft_rotated_iou_matrix
+            yaw = sincos_to_angle(x_recon[:, 6:8])[:, 0]
+            boxes7 = jnp.concatenate([boxes, yaw[:, None]], axis=-1)
+            iou = soft_rotated_iou_matrix(boxes7)
+        else:
+            size, center = boxes[:, :3], boxes[:, 3:6]
+            lo = center - size / 2.0
+            hi = center + size / 2.0
+            inter_lo = jnp.maximum(lo[:, None, :], lo[None, :, :])
+            inter_hi = jnp.minimum(hi[:, None, :], hi[None, :, :])
+            inter = jnp.prod(jnp.clip(inter_hi - inter_lo, 0.0, None), axis=-1)
+            vol = jnp.prod(jnp.clip(hi - lo, 0.0, None), axis=-1)
+            union = vol[:, None] + vol[None, :] - inter
+            iou = inter / jnp.maximum(union, 1e-8)
         iou = jnp.nan_to_num(iou)
         w = self.t.alphas_cumprod[t][:, None]
         pair_mask = same_scene if same_scene is not None else 1.0

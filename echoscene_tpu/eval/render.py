@@ -149,6 +149,25 @@ def render_scene_topdown(objs, boxes7, class_names, sdfs=None,
                                     width=image_size, height=image_size)
 
 
+def render_sdf_grid(sdf_grid: np.ndarray, image_size: int = 256,
+                    cam_height: float = 2.2) -> np.ndarray:
+    """Single-object SDF preview render (the render_sdf role in train-time
+    logging, model/diff_utils/util_3d.py:350)."""
+    verts, tris = sdf_to_canonical_mesh(sdf_grid)
+    if len(tris) == 0:
+        return np.full((image_size, image_size, 3), 255, np.uint8)
+    colors = np.tile(np.array([[0.5, 0.6, 0.8]], np.float32), (len(tris), 1))
+    # tilt the object so a top-down camera shows shape detail
+    tilt = np.deg2rad(55)
+    R = np.array([[1, 0, 0],
+                  [0, np.cos(tilt), -np.sin(tilt)],
+                  [0, np.sin(tilt), np.cos(tilt)]], np.float32)
+    verts = verts @ R.T
+    verts[:, 1] -= verts[:, 1].min()
+    return native.rasterize_topdown(verts, tris, colors, width=image_size,
+                                    height=image_size, cam_height=cam_height)
+
+
 def save_png(img: np.ndarray, path: str):
     from PIL import Image
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -102,7 +102,7 @@ class SGDiff:
         self.layout_diff = LayoutDiffusion(
             S.make_diffusion_tables(betas),
             model_mean_type=lc.model_mean_type, model_var_type=lc.model_var_type,
-            loss_iou=lc.loss_iou,
+            loss_iou=lc.loss_iou, iou_type=lc.iou_type,
             iou_stats=None if iou_stats is None else jnp.asarray(iou_stats))
         self.is_echoscene = cfg.network_type == "echoscene"
         if self.is_echoscene:

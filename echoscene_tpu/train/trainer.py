@@ -135,8 +135,29 @@ class Trainer:
                 lr = v
         return lr
 
+    def preview_shapes(self, state: TrainState, batch, counter: int,
+                       num_obj: int = 2):
+        """Sample a few shapes and log rendered previews to TensorBoard
+        (the reference's gen_shape_after_foward_2 + Visualizer image logging,
+        train_3dfront.py:286-292)."""
+        if self.writer is None or self.sgdiff.cfg.network_type != "echoscene":
+            return
+        try:
+            out = self.sgdiff.sample_fn(state.params, state.batch_stats,
+                                        batch, jax.random.PRNGKey(counter),
+                                        gen_shape=True)
+            from ..eval.render import render_sdf_grid
+            sdfs = np.asarray(out["shapes"])[:num_obj, ..., 0]
+            for i, g in enumerate(sdfs):
+                img = render_sdf_grid(g)
+                self.writer.add_image(f"gen_shape_{i}",
+                                      img.transpose(2, 0, 1), counter)
+        except Exception as e:  # preview must never kill training
+            print(f"[trainer] preview failed: {e}")
+
     def train(self, state: TrainState, epochs: int,
-              max_steps: Optional[int] = None) -> TrainState:
+              max_steps: Optional[int] = None,
+              preview_every: int = 0) -> TrainState:
         counter = int(state.step)
         start_epoch = int(state.epoch)
         t_start = time.time()
@@ -162,6 +183,8 @@ class Trainer:
                         self.loss_log.write(msg + "\n")
                         self.loss_log.flush()
                         self._log_scalars(metrics, counter, lr)
+                    if preview_every and counter % preview_every == 0:
+                        self.preview_shapes(state, batch, counter)
                     if h.interrupted or (max_steps and steps_done >= max_steps):
                         break
                 state = state.replace(epoch=state.epoch + 1)
