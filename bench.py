@@ -26,7 +26,8 @@ def main():
     from __graft_entry__ import _flagship
 
     batch_scenes = 8
-    sg, state, batch = _flagship(max_nodes=64, max_triples=128,
+    # tight node capacity: padded rows cost full denoiser FLOPs in the chains
+    sg, state, batch = _flagship(max_nodes=48, max_triples=112,
                                  diffusion_bs=8, batch_scenes=batch_scenes)
 
     sample = jax.jit(

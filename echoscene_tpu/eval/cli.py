@@ -92,6 +92,8 @@ def evaluate(args):
 
     stats = ds0.box_stats
     os.makedirs(args.store_path, exist_ok=True)
+    if args.render_dir:
+        os.makedirs(args.render_dir, exist_ok=True)
     key = jax.random.PRNGKey(47)
 
     sample_jit = jax.jit(lambda p, bs, b, k, manip: sg.sample_fn(
@@ -120,6 +122,26 @@ def evaluate(args):
             boxes6 = descale_box_params(
                 np.concatenate([sizes, trans], -1), stats)
             keep = np.asarray(out["keep"])[:n]
+            angles = np.asarray(out["angles"])[:n]
+            if args.gen_shape and "shapes" in out and args.dump_sdfs:
+                np.savez_compressed(
+                    os.path.join(args.store_path, f"{ex.scan_id}.npz"),
+                    sdfs=np.asarray(out["shapes"])[:n, ..., 0],
+                    instance_ids=np.asarray(
+                        (ex.instance_ids or list(range(n - 1))) + [-1]),
+                    categories=np.asarray(
+                        [ds.vocab["object_idx_to_name"][c].rstrip("\n")
+                         for c in ex.objs]))
+            if args.render_dir:
+                from .render import render_scene_topdown, save_png
+                boxes7 = np.concatenate([boxes6, angles], -1)
+                sdfs = None
+                if args.gen_shape and "shapes" in out:
+                    sdfs = np.asarray(out["shapes"])[:n, ..., 0]
+                img = render_scene_topdown(
+                    ex.objs, boxes7, ds.vocab["object_idx_to_name"], sdfs)
+                save_png(img, os.path.join(args.render_dir,
+                                           f"{ex.scan_id}.png"))
             if etype != "none":
                 # untouched nodes keep their GT boxes (eval_3dfront.py:191-202)
                 gt6 = descale_box_params(ex.boxes[:, :6], stats)
@@ -159,6 +181,10 @@ def build_parser():
     p.add_argument("--max_nodes", type=int, default=48)
     p.add_argument("--max_triples", type=int, default=160)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--dump_sdfs", action="store_true",
+                   help="save generated SDF grids per scene (consistency CLI input)")
+    p.add_argument("--render_dir", default=None,
+                   help="save top-down renders (FID generated set)")
     return p
 
 

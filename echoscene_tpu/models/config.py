@@ -126,7 +126,9 @@ class EchoSceneConfig:
     lr_step: Tuple[int, ...] = (35000, 70000, 140000)
     lr_evo: Tuple[float, ...] = (5e-5, 1e-5, 5e-6)
     # precision
-    compute_dtype: str = "float32"         # 'float32' | 'bfloat16'
+    compute_dtype: str = "float32"         # training compute: 'float32' | 'bfloat16'
+    sample_dtype: str = "bfloat16"         # sampling compute (denoiser+decoder);
+                                           # chain/posterior math stays f32
 
 
 def _tuple(x):

@@ -44,15 +44,9 @@ class TrainState(struct.PyTreeNode):
 
 def lr_schedule(cfg: EchoSceneConfig):
     """Piecewise-constant lr (EchoScene.lr_lambda :117-128)."""
-    boundaries = {}
     lrs = [cfg.lr_init] + list(cfg.lr_evo)
     scales = {int(b): lrs[i + 1] / lrs[i] for i, b in enumerate(cfg.lr_step)}
-    del boundaries
     return optax.piecewise_constant_schedule(cfg.lr_init, scales)
-
-
-def _is_frozen(path: Tuple[str, ...]) -> bool:
-    return any(p == "vqvae" for p in path)
 
 
 def _label_params(params) -> Any:
@@ -97,6 +91,15 @@ class SGDiff:
                  iou_stats: Optional[np.ndarray] = None):
         self.cfg = cfg
         self.module = EchoSceneModule(cfg, num_objs=num_objs, num_preds=num_preds)
+        # inference twin: same param structure, bf16 compute (flax casts the
+        # f32 params per-op; GroupNorm/softmax stay f32 inside the modules)
+        if cfg.sample_dtype == "bfloat16" and cfg.compute_dtype != "bfloat16":
+            import dataclasses as _dc
+            infer_cfg = _dc.replace(cfg, compute_dtype="bfloat16")
+            self.module_infer = EchoSceneModule(infer_cfg, num_objs=num_objs,
+                                                num_preds=num_preds)
+        else:
+            self.module_infer = self.module
         lc = cfg.layout_diffusion
         betas = S.get_betas(lc.schedule_type, lc.beta_start, lc.beta_end, lc.time_num)
         self.layout_diff = LayoutDiffusion(
@@ -241,7 +244,7 @@ class SGDiff:
     # ------------------------------------------------------------------
     def _context(self, variables, batch: SceneBatch, change: jnp.ndarray,
                  splice: bool):
-        return self.module.apply(
+        return self.module_infer.apply(
             variables, batch, change, splice_untouched=splice,
             method=EchoSceneModule.encode_context)
 
@@ -266,7 +269,7 @@ class SGDiff:
         ctx = self._context(variables, batch, change, splice)
 
         def box_denoise(x, t):
-            return self.module.apply(
+            return self.module_infer.apply(
                 variables, x, t, ctx["obj_embed"], batch,
                 method=EchoSceneModule.layout_eps)
 
@@ -283,7 +286,7 @@ class SGDiff:
             uc_s = ctx["uc_s"][:, None, :]
 
             def shape_denoise(z, t):
-                return self.module.apply(
+                return self.module_infer.apply(
                     variables, z, t, uc_s, batch.dec.triples,
                     batch.dec.obj_mask, batch.dec.triple_mask,
                     method=EchoSceneModule.shape_eps)
@@ -295,11 +298,11 @@ class SGDiff:
             # chunked VQ decode to bound memory (64^3 output grids)
             if n % decode_chunk == 0 and n > decode_chunk:
                 zc_ = z0.reshape(n // decode_chunk, decode_chunk, *z0.shape[1:])
-                sdf = jax.lax.map(lambda z: self.module.apply(
+                sdf = jax.lax.map(lambda z: self.module_infer.apply(
                     variables, z, method=EchoSceneModule.decode_latent), zc_)
                 sdf = sdf.reshape(n, *sdf.shape[2:])
             else:
-                sdf = self.module.apply(variables, z0,
+                sdf = self.module_infer.apply(variables, z0,
                                         method=EchoSceneModule.decode_latent)
             out["shapes"] = sdf
         return out
