@@ -18,7 +18,11 @@ from __future__ import annotations
 import json
 import time
 
-REFERENCE_SCENES_PER_SEC = 0.72  # see BASELINE.md reference-cost model
+# Reference-cost model (BASELINE.md): the reference's eval loop samples ONE
+# scene per run (batch_size=1 hardcoded, eval_3dfront.py:236-241) — 1000
+# host-driven layout steps + 100 DDIM steps + VQ decode at ~10 ms/dispatch
+# ≈ 11 s/scene ≈ 0.09 scenes/sec on its GPU.
+REFERENCE_SCENES_PER_SEC = 0.09
 
 
 def main():

@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--max_steps", type=int, default=0,
                    help="stop after N optimizer steps (0 = unlimited)")
+    p.add_argument("--latent_cache", default=None,
+                   help="npz from scripts/precompute_latents.py; ships VQ "
+                        "latents instead of raw SDF grids")
+    p.add_argument("--preview_every", type=int, default=10000)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -124,13 +128,22 @@ def main(argv=None):
     except Exception as e:  # pragma: no cover
         print(f"[train] tensorboard writer unavailable: {e}")
 
+    latent_lookup = None
+    if args.latent_cache:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "scripts"))
+        from precompute_latents import make_latent_lookup
+        latent_lookup = make_latent_lookup(args.latent_cache)
+
     trainer = Trainer(sgdiff, dataset, spec, args.exp,
                       batch_scenes=args.batchSize, seed=args.seed,
-                      writer=writer)
+                      writer=writer, latent_lookup=latent_lookup)
     if args.loadmodel:
         state = trainer.load(state, args.loadepoch)
     state = trainer.train(state, args.nepoch,
-                          max_steps=args.max_steps or None)
+                          max_steps=args.max_steps or None,
+                          preview_every=args.preview_every)
     return state
 
 
