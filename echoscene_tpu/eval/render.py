@@ -168,6 +168,32 @@ def render_sdf_grid(sdf_grid: np.ndarray, image_size: int = 256,
                                     height=image_size, cam_height=cam_height)
 
 
+def turntable_gif(sdf_grid: np.ndarray, path: str, frames: int = 12,
+                  image_size: int = 128, cam_height: float = 2.2):
+    """Rotating-object GIF (model/diff_utils/util_3d.py:58-92 role)."""
+    from PIL import Image
+    verts, tris = sdf_to_canonical_mesh(sdf_grid)
+    if len(tris) == 0:
+        return
+    colors = np.tile(np.array([[0.5, 0.6, 0.8]], np.float32), (len(tris), 1))
+    tilt = np.deg2rad(55)
+    Rt = np.array([[1, 0, 0],
+                   [0, np.cos(tilt), -np.sin(tilt)],
+                   [0, np.sin(tilt), np.cos(tilt)]], np.float32)
+    imgs = []
+    for k in range(frames):
+        R = get_rotation_3dfront(2 * np.pi * k / frames).astype(np.float32)
+        v = (verts @ R.T) @ Rt.T
+        v[:, 1] -= v[:, 1].min()
+        img = native.rasterize_topdown(v.astype(np.float32), tris, colors,
+                                       width=image_size, height=image_size,
+                                       cam_height=cam_height)
+        imgs.append(Image.fromarray(img))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imgs[0].save(path, save_all=True, append_images=imgs[1:], duration=120,
+                 loop=0)
+
+
 def save_png(img: np.ndarray, path: str):
     from PIL import Image
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -1,0 +1,50 @@
+"""Config loader: our yaml tree AND the reference's yaml files must parse."""
+import os
+
+import pytest
+
+from echoscene_tpu.models.config import load_config, EchoSceneConfig
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_load_own_flagship():
+    cfg = load_config(os.path.join(REPO, "configs", "full_mp.yaml"))
+    assert cfg.layout_denoiser.model_channels == 512
+    assert cfg.layout_denoiser.conditioning_key == "crossattn"
+    assert cfg.layout_denoiser.crossattn_dim == 1280
+    assert cfg.layout_diffusion.time_num == 1000
+    assert cfg.layout_diffusion.beta_start == 1e-4
+    assert cfg.shape_branch.denoiser.model_channels == 224
+    assert cfg.shape_branch.denoiser.channel_mult == (1, 2, 3)
+    assert cfg.shape_branch.denoiser.message_passing is True
+    assert cfg.shape_branch.denoiser.linear_start == 0.00085
+    assert cfg.shape_branch.vqvae.n_embed == 8192
+    assert cfg.shape_branch.vqvae.ch_mult == (1, 2, 4)
+    assert cfg.diffusion_bs == 64
+    assert cfg.lr_step == (35000, 70000, 140000)
+
+
+def test_load_concat_variant():
+    cfg = load_config(os.path.join(REPO, "configs", "full_concat_mp.yaml"))
+    assert cfg.layout_denoiser.conditioning_key == "concat"
+    assert cfg.shape_branch.denoiser.conditioning_key == "concat"
+
+
+def test_load_box_variant():
+    cfg = load_config(os.path.join(REPO, "configs", "box_mp.yaml"),
+                      network_type="echolayout")
+    assert cfg.network_type == "echolayout"
+    assert cfg.layout_diffusion.loss_iou is True
+    assert cfg.layout_diffusion.iou_type == "aabb"
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/config/full_mp.yaml"),
+                    reason="reference tree not mounted")
+def test_load_reference_yaml_directly():
+    """The loader must consume the reference's own config files."""
+    cfg = load_config("/root/reference/config/full_mp.yaml")
+    assert cfg.layout_denoiser.model_channels == 512
+    assert cfg.shape_branch.denoiser.model_channels == 224
+    assert cfg.shape_branch.denoiser.message_passing is True
+    assert cfg.shape_branch.vqvae.n_embed == 8192
