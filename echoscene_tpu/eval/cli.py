@@ -67,7 +67,8 @@ def evaluate(args):
             room_type=margs["room_type"], shuffle_objs=False,
             use_sdf=margs["with_SDF"], use_scene_rels=margs["use_scene_rels"],
             with_changes=etype != "none", eval_mode=etype != "none",
-            eval_type=etype, large=margs["large"], clip=clip, seed=47)
+            eval_type=etype, large=margs["large"], clip=clip, seed=47,
+            sdf_res=margs.get("sdf_res", 64))
 
     cfg = load_config(margs["diff_yaml"], network_type=margs["network_type"],
                       with_clip=margs["with_CLIP"])

@@ -41,10 +41,43 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("q_block",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     q_block: int = 256) -> jnp.ndarray:
-    """q: (B, L, H, D); k, v: (B, S, H, D) -> (B, L, H, D)."""
+    """q: (B, L, H, D); k, v: (B, S, H, D) -> (B, L, H, D).
+
+    custom_vjp: the forward is the Pallas kernel; the backward differentiates
+    the mathematically identical einsum formulation (exact gradients, XLA
+    path) — the sampler only needs the fast forward.
+    """
+    return _flash_attention_fwd_impl(q, k, v, q_block)
+
+
+def _einsum_reference(q, k, v):
+    d = q.shape[-1]
+    scores = jnp.einsum("blhd,bshd->bhls", q, k,
+                        preferred_element_type=jnp.float32) * (d ** -0.5)
+    p = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhls,bshd->blhd", p, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _fa_fwd(q, k, v, q_block):
+    return _flash_attention_fwd_impl(q, k, v, q_block), (q, k, v)
+
+
+def _fa_bwd(q_block, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_einsum_reference, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("q_block",))
+def _flash_attention_fwd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                              q_block: int = 256) -> jnp.ndarray:
     b, l, h, d = q.shape
     s = k.shape[1]
     scale = d ** -0.5

@@ -64,6 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="npz from scripts/precompute_latents.py; ships VQ "
                         "latents instead of raw SDF grids")
     p.add_argument("--preview_every", type=int, default=10000)
+    p.add_argument("--sdf_res", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -83,7 +84,7 @@ def main(argv=None):
         root=args.dataset, split="train_scans", room_type=args.room_type,
         shuffle_objs=args.shuffle_objs, use_sdf=args.with_SDF,
         use_scene_rels=args.use_scene_rels, with_changes=args.with_changes,
-        large=args.large, clip=clip, seed=args.seed)
+        large=args.large, clip=clip, seed=args.seed, sdf_res=args.sdf_res)
 
     cfg = load_config(args.diff_yaml, network_type=args.network_type,
                       with_clip=args.with_CLIP)

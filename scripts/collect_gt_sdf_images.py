@@ -23,11 +23,12 @@ def main(argv=None):
     p.add_argument("--out", default="./gt_renders")
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--with_sdf", action="store_true")
+    p.add_argument("--sdf_res", type=int, default=64)
     args = p.parse_args(argv)
 
     ds = SGFrontDataset(args.dataset, split="test", room_type=args.room_type,
                         use_sdf=args.with_sdf, with_changes=False,
-                        shuffle_objs=False)
+                        shuffle_objs=False, sdf_res=args.sdf_res)
     os.makedirs(args.out, exist_ok=True)
     n = args.limit or len(ds)
     for i in range(min(n, len(ds))):
