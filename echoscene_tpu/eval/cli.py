@@ -59,7 +59,6 @@ def evaluate(args):
         margs = json.load(f)
 
     clip = ClipTextEncoder(margs.get("clip_backend", "hash"))
-    eval_type = args.evaluate_diversity or "none"
 
     def make_ds(etype):
         return SGFrontDataset(

@@ -41,9 +41,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pick_q_block(s: int, d_pad: int, requested) -> int:
+    """Largest q block whose K/V + score tile fits the ~16 MB VMEM budget."""
+    if requested is not None:
+        return requested
+    budget = 12 * 1024 * 1024   # leave headroom under the 16 MB scoped limit
+    for qb in (512, 256, 128, 64, 32):
+        need = 4 * (2 * s * d_pad + qb * d_pad * 2 + qb * s * 2)
+        if need <= budget:
+            return qb
+    return 16
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    q_block: int = 256) -> jnp.ndarray:
+                    q_block=None) -> jnp.ndarray:
     """q: (B, L, H, D); k, v: (B, S, H, D) -> (B, L, H, D).
 
     custom_vjp: the forward is the Pallas kernel; the backward differentiates
@@ -77,12 +89,13 @@ flash_attention.defvjp(_fa_fwd, _fa_bwd)
 
 @functools.partial(jax.jit, static_argnames=("q_block",))
 def _flash_attention_fwd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                              q_block: int = 256) -> jnp.ndarray:
+                              q_block=None) -> jnp.ndarray:
     b, l, h, d = q.shape
     s = k.shape[1]
     scale = d ** -0.5
 
     d_pad = _round_up(d, 128)
+    q_block = _pick_q_block(s, d_pad, q_block)
     l_pad = _round_up(l, q_block)
 
     def prep(x, length, pad_len):
