@@ -44,17 +44,10 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     Returns (B, L, H, D).
     """
-    # K/V live whole in VMEM and are double-buffered by the pipeline; keep
-    # 2 * 2 * S * D_pad * 4B well under the ~16 MB scoped budget.  Shapes past
-    # that (e.g. the VQ-VAE's 4096-token, 256-channel single-head site) take
-    # the einsum path until a K-streaming kernel lands.
-    d_pad = (q.shape[-1] + 127) // 128 * 128
-    kv_bytes = 2 * 2 * k.shape[1] * d_pad * 4
     use_pallas = (
         mask is None
         and q.shape[1] == k.shape[1]
         and q.shape[1] >= PALLAS_MIN_SEQ
-        and kv_bytes <= 9 * 1024 * 1024
         and jax.default_backend() == "tpu"
     )
     if use_pallas:

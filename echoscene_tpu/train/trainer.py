@@ -158,10 +158,12 @@ class Trainer:
     def train(self, state: TrainState, epochs: int,
               max_steps: Optional[int] = None,
               preview_every: int = 0) -> TrainState:
+        from .profiling import StepTimer
         counter = int(state.step)
         start_epoch = int(state.epoch)
         t_start = time.time()
         steps_done = 0
+        timer = StepTimer(self.batch_scenes)
         with InterruptHandler() as h:
             for epoch in range(start_epoch, epochs):
                 it = Prefetcher(lambda: batch_iterator(
@@ -171,6 +173,7 @@ class Trainer:
                     self.key, sk = jax.random.split(self.key)
                     state, metrics = self.sgdiff.train_step(state, batch, sk,
                                                             donate=True)
+                    timer.tick()
                     counter += 1
                     steps_done += 1
                     if counter % self.log_every == 0:
@@ -183,6 +186,9 @@ class Trainer:
                         self.loss_log.write(msg + "\n")
                         self.loss_log.flush()
                         self._log_scalars(metrics, counter, lr)
+                        if self.writer is not None:
+                            self.writer.add_scalar("scenes_per_sec_per_chip",
+                                                   timer.scenes_per_sec, counter)
                     if preview_every and counter % preview_every == 0:
                         self.preview_shapes(state, batch, counter)
                     if h.interrupted or (max_steps and steps_done >= max_steps):
