@@ -76,9 +76,9 @@ def evaluate(args):
     ds0 = make_ds("none")
     cfg.layout_diffusion.train_stats_file = ds0.box_stats_path
 
-    # per-scene padded capacities
+    # padded capacities for an eval_batch-scene generation call
     spec = CollateSpec(max_nodes=args.max_nodes, max_triples=args.max_triples,
-                       max_scenes=1, diffusion_bs=args.max_nodes,
+                       max_scenes=args.eval_batch, diffusion_bs=args.max_nodes,
                        with_sdf=False)
     sg = SGDiff(cfg, num_objs=len(ds0.classes), num_preds=len(ds0.pred_names),
                 iou_stats=ds0.box_stats)
@@ -100,59 +100,84 @@ def evaluate(args):
         p, bs, b, k, gen_shape=args.gen_shape, with_manipulation=manip),
         static_argnames=("manip",))
 
+    def score_scene(ds, ex, out_slice, etype, acc, acc_unchanged):
+        n = ex.num_nodes
+        sizes, trans, angles, keep = out_slice["sizes"], out_slice[
+            "translations"], out_slice["angles"], out_slice["keep"]
+        boxes6 = descale_box_params(np.concatenate([sizes, trans], -1), stats)
+        if args.gen_shape and out_slice.get("shapes") is not None and args.dump_sdfs:
+            np.savez_compressed(
+                os.path.join(args.store_path, f"{ex.scan_id}.npz"),
+                sdfs=out_slice["shapes"][..., 0],
+                instance_ids=np.asarray(
+                    (ex.instance_ids or list(range(n - 1))) + [-1]),
+                categories=np.asarray(
+                    [ds.vocab["object_idx_to_name"][c].rstrip("\n")
+                     for c in ex.objs]))
+        if args.render_dir:
+            from .render import render_scene_topdown, save_png
+            boxes7 = np.concatenate([boxes6, angles], -1)
+            sdfs = None
+            if args.gen_shape and out_slice.get("shapes") is not None:
+                sdfs = out_slice["shapes"][..., 0]
+            img = render_scene_topdown(
+                ex.objs, boxes7, ds.vocab["object_idx_to_name"], sdfs)
+            save_png(img, os.path.join(args.render_dir, f"{ex.scan_id}.png"))
+        if etype != "none":
+            # untouched nodes keep their GT boxes (eval_3dfront.py:191-202)
+            gt6 = descale_box_params(ex.boxes[:, :6], stats)
+            boxes6 = np.where(keep[:, None] == 1, gt6, boxes6)
+            validate_constrains_changes(ex.triples, boxes6, keep,
+                                        ds.vocab["pred_idx_to_name"], acc)
+            validate_constrains(ex.triples, boxes6, keep,
+                                ds.vocab["pred_idx_to_name"], acc_unchanged)
+        else:
+            validate_constrains(ex.triples, boxes6, None,
+                                ds.vocab["pred_idx_to_name"], acc)
+
     def run_eval(etype: str, limit: int):
         nonlocal key
         ds = make_ds(etype)
         acc = new_accuracy_dict()
         acc_unchanged = new_accuracy_dict()
         n_eval = min(limit or len(ds), len(ds))
+        # batch several scenes per generation call (the reference evaluates
+        # one scene per 1100-step run, eval_3dfront.py:236-241; batching is a
+        # pure throughput win here — results are per-scene identical)
+        group: list = []
         for i in range(n_eval):
             ex = ds[i]
-            if ex is None:
+            if ex is not None:
+                group.append(ex)
+            if len(group) < args.eval_batch and i < n_eval - 1:
                 continue
-            batch = collate_scenes([ex], spec)
+            if not group:
+                continue
+            # mirror the collate capacity rule so per-scene offsets line up
+            kept, nn, tt = [], 0, 0
+            for e in group:
+                if (nn + e.num_nodes <= spec.max_nodes
+                        and tt + len(e.triples) <= spec.max_triples
+                        and len(kept) < spec.max_scenes):
+                    kept.append(e)
+                    nn += e.num_nodes
+                    tt += len(e.triples)
+            group = kept
+            batch = collate_scenes(group, spec)
             if batch is None:
+                group = []
                 continue
             key, sk = jax.random.split(key)
             out = sample_jit(state.params, state.batch_stats, batch, sk,
                              etype != "none")
-            n = ex.num_nodes
-            sizes = np.asarray(out["sizes"])[:n]
-            trans = np.asarray(out["translations"])[:n]
-            boxes6 = descale_box_params(
-                np.concatenate([sizes, trans], -1), stats)
-            keep = np.asarray(out["keep"])[:n]
-            angles = np.asarray(out["angles"])[:n]
-            if args.gen_shape and "shapes" in out and args.dump_sdfs:
-                np.savez_compressed(
-                    os.path.join(args.store_path, f"{ex.scan_id}.npz"),
-                    sdfs=np.asarray(out["shapes"])[:n, ..., 0],
-                    instance_ids=np.asarray(
-                        (ex.instance_ids or list(range(n - 1))) + [-1]),
-                    categories=np.asarray(
-                        [ds.vocab["object_idx_to_name"][c].rstrip("\n")
-                         for c in ex.objs]))
-            if args.render_dir:
-                from .render import render_scene_topdown, save_png
-                boxes7 = np.concatenate([boxes6, angles], -1)
-                sdfs = None
-                if args.gen_shape and "shapes" in out:
-                    sdfs = np.asarray(out["shapes"])[:n, ..., 0]
-                img = render_scene_topdown(
-                    ex.objs, boxes7, ds.vocab["object_idx_to_name"], sdfs)
-                save_png(img, os.path.join(args.render_dir,
-                                           f"{ex.scan_id}.png"))
-            if etype != "none":
-                # untouched nodes keep their GT boxes (eval_3dfront.py:191-202)
-                gt6 = descale_box_params(ex.boxes[:, :6], stats)
-                boxes6 = np.where(keep[:, None] == 1, gt6, boxes6)
-                validate_constrains_changes(ex.triples, boxes6, keep,
-                                            ds.vocab["pred_idx_to_name"], acc)
-                validate_constrains(ex.triples, boxes6, keep,
-                                    ds.vocab["pred_idx_to_name"], acc_unchanged)
-            else:
-                validate_constrains(ex.triples, boxes6, None,
-                                    ds.vocab["pred_idx_to_name"], acc)
+            out_np = {k: np.asarray(v) for k, v in out.items()}
+            off = 0
+            for ex_i in group:
+                n = ex_i.num_nodes
+                sl = {k: v[off:off + n] for k, v in out_np.items()}
+                score_scene(ds, ex_i, sl, etype, acc, acc_unchanged)
+                off += n
+            group = []
         report = os.path.join(args.store_path,
                               f"{etype}_accuracy_analysis.txt")
         if etype != "none":
@@ -181,6 +206,8 @@ def build_parser():
     p.add_argument("--max_nodes", type=int, default=48)
     p.add_argument("--max_triples", type=int, default=160)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--eval_batch", type=int, default=1,
+                   help="scenes per generation call (size max_nodes to fit)")
     p.add_argument("--dump_sdfs", action="store_true",
                    help="save generated SDF grids per scene (consistency CLI input)")
     p.add_argument("--render_dir", default=None,
