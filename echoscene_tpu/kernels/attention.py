@@ -16,12 +16,14 @@ these sizes.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 PALLAS_MIN_SEQ = 512  # below this, plain einsum attention is faster on TPU
+_DISABLE = os.environ.get("ECHOSCENE_DISABLE_PALLAS_ATTN") == "1"
 
 
 def _einsum_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -45,7 +47,8 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Returns (B, L, H, D).
     """
     use_pallas = (
-        mask is None
+        not _DISABLE
+        and mask is None
         and q.shape[1] == k.shape[1]
         and q.shape[1] >= PALLAS_MIN_SEQ
         and jax.default_backend() == "tpu"

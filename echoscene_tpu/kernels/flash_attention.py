@@ -70,20 +70,80 @@ def _stream_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
 
 
+def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Whole-K tile in VMEM; single-pass softmax.  Fastest when K fits —
+    and, empirically, the only Pallas variant that stays fast inside a long
+    lax.scan body (the 3D-grid streaming kernel regresses ~4x in-scan)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    scores = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32
+                                   ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("q_block",))
+def _onepass_impl(q, k, v, q_block: int = 256):
+    b, l, h, d = q.shape
+    s = k.shape[1]
+    scale = d ** -0.5
+    d_pad = _round_up(d, 128)
+    q_block = min(q_block, _round_up(l, 8))
+    l_pad = _round_up(l, q_block)
+
+    def prep(x, length, pad_len):
+        x = jnp.swapaxes(x, 1, 2).reshape(b * h, length, d)
+        return jnp.pad(x, ((0, 0), (0, pad_len - length), (0, d_pad - d)))
+
+    qp = prep(q, l, l_pad)
+    kp = prep(k, s, s)
+    vp = prep(v, s, s)
+    out = pl.pallas_call(
+        functools.partial(_onepass_kernel, scale=scale),
+        grid=(b * h, l_pad // q_block),
+        in_specs=[
+            pl.BlockSpec((1, q_block, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, d_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, l_pad, d_pad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * l * s * d_pad,
+            bytes_accessed=b * h * (l + 2 * s) * d_pad * 4,
+            transcendentals=b * h * l * s),
+    )(qp, kp, vp)
+    return jnp.swapaxes(out[:, :l, :d].reshape(b, h, l, d), 1, 2)
+
+
+def _kv_fits_vmem(s: int, d_pad: int) -> bool:
+    """double-buffered K+V tiles + score tile must stay under ~16 MB."""
+    return 2 * 2 * s * d_pad * 4 <= 9 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("q_block", "k_block"))
-def _flash_attention_fwd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                              q_block: int = 256,
-                              k_block: int = 512) -> jnp.ndarray:
+def _stream_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                 q_block: int = 256, k_block=None) -> jnp.ndarray:
     b, l, h, d = q.shape
     s = k.shape[1]
     scale = d ** -0.5
 
     d_pad = _round_up(d, 128)
     q_block = min(q_block, _round_up(l, 8))
-    # largest K tile that keeps double-buffered K/V + the score tile within
-    # a few MB of VMEM: fewer recurrence steps -> closer to one-pass softmax
-    k_budget = max(512, (3 * 1024 * 1024) // (16 * d_pad) // 512 * 512)
-    k_block = min(max(k_block, k_budget), _round_up(s, 8))
+    if k_block is None:
+        # largest K tile that keeps double-buffered K/V + the score tile in
+        # a few MB of VMEM: fewer recurrence steps -> closer to one-pass
+        k_block = max(512, (3 * 1024 * 1024) // (16 * d_pad) // 512 * 512)
+    k_block = min(k_block, _round_up(s, 8))
     l_pad = _round_up(l, q_block)
     s_pad = _round_up(s, k_block)
 
@@ -134,6 +194,13 @@ def _einsum_reference(q, k, v):
     p = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("bhls,bshd->blhd", p, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _flash_attention_fwd_impl(q, k, v, q_block: int = 256):
+    d_pad = _round_up(q.shape[-1], 128)
+    if _kv_fits_vmem(k.shape[1], d_pad):
+        return _onepass_impl(q, k, v, q_block)
+    return _stream_impl(q, k, v, q_block)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -23,6 +23,21 @@ def test_flash_attention_matches_einsum(rng):
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_streaming_attention_matches_einsum(rng):
+    """The K-streaming variant (online softmax) must agree with einsum."""
+    from jax.experimental.pallas import tpu as pltpu
+    from echoscene_tpu.kernels.flash_attention import _stream_impl
+
+    b, l, h, d = 1, 96, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    ref = _einsum_attention(q, k, v, None)
+    with pltpu.force_tpu_interpret_mode():
+        out = _stream_impl(q, k, v, q_block=32, k_block=32)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_chamfer_pallas_matches_reference(rng):
     from jax.experimental.pallas import tpu as pltpu
     from echoscene_tpu.kernels.chamfer_pallas import chamfer_pallas
