@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="npz from scripts/precompute_latents.py; ships VQ "
                         "latents instead of raw SDF grids")
     p.add_argument("--preview_every", type=int, default=10000)
+    p.add_argument("--dp_devices", type=int, default=1,
+                   help="data-parallel devices (shard_map over a 'data' mesh)")
     p.add_argument("--sdf_res", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -139,7 +141,8 @@ def main(argv=None):
 
     trainer = Trainer(sgdiff, dataset, spec, args.exp,
                       batch_scenes=args.batchSize, seed=args.seed,
-                      writer=writer, latent_lookup=latent_lookup)
+                      writer=writer, latent_lookup=latent_lookup,
+                      dp_devices=args.dp_devices)
     if args.loadmodel:
         state = trainer.load(state, args.loadepoch)
     state = trainer.train(state, args.nepoch,

@@ -99,7 +99,8 @@ class Trainer:
     def __init__(self, sgdiff: SGDiff, dataset: SGFrontDataset,
                  spec: CollateSpec, exp_dir: str, batch_scenes: int = 64,
                  log_every: int = 50, ckpt_every_epochs: int = 100,
-                 seed: int = 0, writer=None, latent_lookup=None):
+                 seed: int = 0, writer=None, latent_lookup=None,
+                 dp_devices: int = 1):
         self.sgdiff = sgdiff
         self.dataset = dataset
         self.spec = spec
@@ -110,6 +111,8 @@ class Trainer:
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self.latent_lookup = latent_lookup
+        self.dp_devices = dp_devices
+        self._dp_step = None
         os.makedirs(os.path.join(exp_dir, "checkpoint"), exist_ok=True)
         self.writer = writer
         self.loss_log = open(os.path.join(exp_dir, "loss_log.txt"), "a")
@@ -163,16 +166,38 @@ class Trainer:
         start_epoch = int(state.epoch)
         t_start = time.time()
         steps_done = 0
-        timer = StepTimer(self.batch_scenes)
+        timer = StepTimer(self.batch_scenes * max(1, self.dp_devices))
+
+        if self.dp_devices > 1 and self._dp_step is None:
+            from ..parallel.mesh import make_mesh
+            from ..parallel.dp import build_dp_train_step
+            mesh = make_mesh((self.dp_devices,), ("data",),
+                             jax.devices()[:self.dp_devices])
+            self._dp_step = build_dp_train_step(
+                self.sgdiff, mesh, donate=True)(state)
         with InterruptHandler() as h:
             for epoch in range(start_epoch, epochs):
                 it = Prefetcher(lambda: batch_iterator(
                     self.dataset, self.spec, self.batch_scenes, self.rng,
                     self.latent_lookup))
+                shard_buf = []
                 for batch in it:
-                    self.key, sk = jax.random.split(self.key)
-                    state, metrics = self.sgdiff.train_step(state, batch, sk,
-                                                            donate=True)
+                    if self.dp_devices > 1:
+                        # accumulate one independent flat batch per device
+                        shard_buf.append(jax.device_get(batch))
+                        if len(shard_buf) < self.dp_devices:
+                            continue
+                        from ..parallel.mesh import stack_shards
+                        stacked = stack_shards(shard_buf)
+                        shard_buf = []
+                        self.key, *sks = jax.random.split(
+                            self.key, self.dp_devices + 1)
+                        state, metrics = self._dp_step(
+                            state, stacked, jax.numpy.stack(sks))
+                    else:
+                        self.key, sk = jax.random.split(self.key)
+                        state, metrics = self.sgdiff.train_step(
+                            state, batch, sk, donate=True)
                     timer.tick()
                     counter += 1
                     steps_done += 1
