@@ -126,13 +126,18 @@ class SpatialTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, *, deterministic: bool = True):
+        from .blocks import group_norm_fast
         b, *spatial, c = x.shape
         inner = self.n_heads * self.d_head
         x_in = x
         groups = min(32, c)
         while c % groups:
             groups -= 1
-        h = nn.GroupNorm(num_groups=groups, epsilon=1e-6, name="norm")(x)
+        gn_scale = self.param("norm_scale", nn.initializers.ones, (c,),
+                              jnp.float32)
+        gn_bias = self.param("norm_bias", nn.initializers.zeros, (c,),
+                             jnp.float32)
+        h = group_norm_fast(x, groups, 1e-6, gn_scale, gn_bias)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)  # 1x1 conv == Dense
         h = h.reshape(b, -1, inner)
         block_cls = BasicTransformerBlock

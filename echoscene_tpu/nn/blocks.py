@@ -38,6 +38,42 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int,
     return emb
 
 
+def group_norm_fast(x: jnp.ndarray, groups: int, epsilon: float,
+                    scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """Channel-last GroupNorm with TPU-friendly reductions.
+
+    The naive formulation reshapes to (..., G, C/G) and reduces over a tiny
+    minor dim (C/G = 7 for C=224) — catastrophic lane utilisation (profiled
+    at >50% of the whole UNet3D forward).  Here the reductions run over the
+    SPATIAL axes with C kept minor (fully laned), then group aggregation
+    happens on the tiny (B, C) moment arrays.  Statistics in f32; one fused
+    elementwise normalise pass in the input dtype.
+    """
+    *lead, c = x.shape
+    b = x.shape[0]
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    n_spatial = 1
+    for a in spatial_axes:
+        n_spatial *= x.shape[a]
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=spatial_axes)            # (B, C)
+    s2 = jnp.sum(xf * xf, axis=spatial_axes)       # (B, C)
+    cg = c // groups
+    n = n_spatial * cg
+    s1g = s1.reshape(b, groups, cg).sum(-1)        # (B, G)
+    s2g = s2.reshape(b, groups, cg).sum(-1)
+    mean = s1g / n
+    var = jnp.maximum(s2g / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + epsilon)             # (B, G)
+    # per-channel affine folded into the group stats -> ONE elementwise pass
+    mean_c = jnp.repeat(mean, cg, axis=1)          # (B, C)
+    inv_c = jnp.repeat(inv, cg, axis=1)
+    w = inv_c * scale[None, :]                     # (B, C)
+    b_ = bias[None, :] - mean_c * w
+    shape = (b,) + (1,) * len(spatial_axes) + (c,)
+    return (xf * w.reshape(shape) + b_.reshape(shape)).astype(x.dtype)
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in float32 (ldm_diffusion_util.py:222-239).
 
@@ -53,10 +89,9 @@ class GroupNorm32(nn.Module):
         groups = min(self.num_groups, c)
         while c % groups:
             groups -= 1
-        orig_dtype = x.dtype
-        y = nn.GroupNorm(num_groups=groups, epsilon=self.epsilon,
-                         dtype=jnp.float32)(x.astype(jnp.float32))
-        return y.astype(orig_dtype)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_fast(x, groups, self.epsilon, scale, bias)
 
 
 def zero_init_conv(features: int, kernel: Sequence[int], **kw) -> nn.Conv:

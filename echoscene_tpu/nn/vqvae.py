@@ -24,15 +24,30 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..kernels.attention import dot_product_attention
+from .blocks import group_norm_fast
 
 
-def _norm(c: int) -> nn.GroupNorm:
+class _VQGroupNorm(nn.Module):
+    """GroupNorm with the taming group-count quirk, on the lane-friendly
+    fast path (see nn/blocks.py group_norm_fast)."""
+    groups: int
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_fast(x, self.groups, self.epsilon, scale, bias)
+
+
+def _norm(c: int) -> nn.Module:
     groups = 32
     if c <= 32:
         groups = c // 4
     elif c % 32 != 0:
         groups = 30
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-6)
+    return _VQGroupNorm(groups)
 
 
 def swish(x):
