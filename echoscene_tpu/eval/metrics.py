@@ -220,3 +220,67 @@ def validate_constrains_changes(triples, boxes, keep, pred_names,
 def accuracy_means(accuracy: Dict[str, List[int]]) -> Dict[str, float]:
     return {k: (float(np.mean(v)) if len(v) else float("nan"))
             for k, v in accuracy.items()}
+
+
+# --- point-cloud overlap (collision) metric --------------------------------
+STRUCTURAL_CLASSES = ("floor", "wall", "ceiling", "_scene_")
+TOUCHING_PREDS = ("none", "inside", "attached to", "part of", "cover",
+                  "belonging to", "build in", "connected to")
+
+
+def fit_points_to_box(points: np.ndarray, box7) -> np.ndarray:
+    """Scale unit-ish canonical points into a world box (helpers/util.py
+    fit_shapes_to_box role for point clouds)."""
+    from .render import get_rotation_3dfront
+    l, h, w, px, py, pz, angle = [float(v) for v in box7]
+    p = np.asarray(points, np.float64).copy()
+    lo, hi = p.min(0), p.max(0)
+    center = (lo + hi) / 2
+    center[1] = lo[1]
+    p -= center
+    ext = p.max(0) - p.min(0)
+    ext[ext < 1e-8] = 1.0
+    p = p / ext * np.array([w, h, l])
+    R_inv = np.linalg.inv(get_rotation_3dfront(angle))
+    return (p @ R_inv.T + np.array([px, py, pz])).astype(np.float32)
+
+
+def pointcloud_overlap_pair(pc1: np.ndarray, pc2: np.ndarray) -> int:
+    """#points of pc1 whose nearest OTHER point belongs to pc2
+    (metrics_3dfront.py:466-475)."""
+    allpc = np.concatenate([pc1, pc2], 0)
+    d = (-2 * pc1 @ allpc.T + np.sum(pc1 ** 2, -1)[:, None]
+         + np.sum(allpc ** 2, -1)[None, :])
+    # first NN is the point itself; take the second-smallest
+    idx2 = np.argsort(d, axis=1)[:, 1]
+    return int(np.sum(idx2 >= len(pc1)))
+
+
+def pointcloud_overlap(pclouds, objs, boxes7, triples, class_names,
+                       pred_names, overlap_metric: Optional[list] = None):
+    """Scene collision metric (metrics_3dfront.py:436-463): for every pair of
+    non-structural objects whose relation does not imply touching, fit their
+    point clouds into the predicted boxes and count cross-cloud nearest
+    neighbours."""
+    if overlap_metric is None:
+        overlap_metric = []
+    pair2pred = {(int(t[0]), int(t[2])): int(t[1]) for t in np.asarray(triples)}
+    n = len(pclouds)
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            ci = class_names[int(objs[i])].rstrip("\n")
+            cj = class_names[int(objs[j])].rstrip("\n")
+            if ci in STRUCTURAL_CLASSES or cj in STRUCTURAL_CLASSES:
+                continue
+            pred_ij = pair2pred.get((i, j))
+            pred_ji = pair2pred.get((j, i))
+            skip = False
+            for p in (pred_ij, pred_ji):
+                if p is not None and pred_names[p].rstrip("\n") in TOUCHING_PREDS:
+                    skip = True
+            if skip:
+                continue
+            pc1 = fit_points_to_box(pclouds[i], boxes7[i])
+            pc2 = fit_points_to_box(pclouds[j], boxes7[j])
+            overlap_metric.append(pointcloud_overlap_pair(pc1, pc2))
+    return overlap_metric
