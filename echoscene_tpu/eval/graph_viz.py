@@ -35,6 +35,22 @@ def scene_graph_dot(objs: Sequence[int], triples: np.ndarray,
     return "\n".join(lines)
 
 
+def load_graph_json(path: str):
+    """Scene-graph json loader (helpers/viz_util.py:5-114 role): returns
+    (objects {id: name}, triples [[s, pred_name, o], ...])."""
+    import json
+    with open(path) as f:
+        data = json.load(f)
+    if "scans" in data:   # relationships_*.json format
+        scan = data["scans"][0]
+        objects = {int(k): v for k, v in scan["objects"].items()}
+        triples = [[r[0], r[3], r[1]] for r in scan["relationships"]]
+        return objects, triples
+    objects = {int(k): v for k, v in data.get("objects", {}).items()}
+    triples = data.get("relationships", data.get("triples", []))
+    return objects, triples
+
+
 def save_dot(dot: str, path: str, render_png: bool = True) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
