@@ -118,7 +118,9 @@ class Upsample3D(nn.Module):
 
 
 def _act(name: str):
-    return {"gelu": nn.gelu, "swish": swish, "lrelu": nn.leaky_relu}[name]
+    # torch nn.GELU is the exact erf form; jax defaults to the tanh approx
+    exact_gelu = lambda x: nn.gelu(x, approximate=False)
+    return {"gelu": exact_gelu, "swish": swish, "lrelu": nn.leaky_relu}[name]
 
 
 class Encoder3D(nn.Module):
@@ -213,12 +215,13 @@ class VectorQuantizer(nn.Module):
     @nn.compact
     def __call__(self, z) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """z: (..., embed_dim) channel-last. Returns (z_q, loss, indices)."""
-        codebook = self.param(
-            "embedding",
-            nn.initializers.uniform(scale=2.0 / self.n_embed),
-            (self.n_embed, self.embed_dim))
-        # torch init is U(-1/n, 1/n); flax uniform is U(0, scale) -> shift
-        book = codebook - 1.0 / self.n_embed
+        def _uniform_pm(key, shape):
+            # torch nn.Embedding uniform_(-1/n, 1/n) (quantizer.py:27)
+            lim = 1.0 / self.n_embed
+            return jax.random.uniform(key, shape, minval=-lim, maxval=lim)
+
+        book = self.param("embedding", _uniform_pm,
+                          (self.n_embed, self.embed_dim))
 
         flat = z.reshape(-1, self.embed_dim)
         d = (jnp.sum(flat ** 2, axis=1, keepdims=True)
