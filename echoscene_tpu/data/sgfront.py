@@ -352,12 +352,30 @@ class SGFrontDataset:
 
     # ------------------------------------------------------------------
     def load_sdf(self, path: Optional[str]) -> np.ndarray:
-        """64^3 SDF grid, clamped to ±0.2 (:309-318); channel-last (R,R,R,1)."""
+        """64^3 SDF grid, clamped to ±0.2 (:309-318); channel-last (R,R,R,1).
+
+        LRU-cached: the unique-object count is small (~thousands of 1 MB
+        grids) while training revisits each every epoch.
+        """
         r = self.sdf_res
-        if path is None or not os.path.exists(path):
+        if path is None:
+            return np.zeros((r, r, r, 1), np.float32)
+        cache = getattr(self, "_sdf_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+            cache = self._sdf_cache = OrderedDict()
+            self._sdf_cache_max = 4096
+        hit = cache.get(path)
+        if hit is not None:
+            cache.move_to_end(path)
+            return hit
+        if not os.path.exists(path):
             return np.zeros((r, r, r, 1), np.float32)
         import h5py
         with h5py.File(path, "r") as f:
             sdf = np.asarray(f["pc_sdf_sample"][:], np.float32)
-        sdf = sdf.reshape(r, r, r, 1)
-        return np.clip(sdf, -0.2, 0.2)
+        sdf = np.clip(sdf.reshape(r, r, r, 1), -0.2, 0.2)
+        cache[path] = sdf
+        if len(cache) > self._sdf_cache_max:
+            cache.popitem(last=False)
+        return sdf
