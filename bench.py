@@ -16,7 +16,6 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
-import time
 
 # Reference-cost model (BASELINE.md): the reference's eval loop samples ONE
 # scene per run (batch_size=1 hardcoded, eval_3dfront.py:236-241) — 1000
@@ -26,30 +25,14 @@ REFERENCE_SCENES_PER_SEC = 0.09
 
 
 def main():
-    import jax
-    from __graft_entry__ import _flagship
+    from echoscene_tpu.benchmarks import build_flagship, time_generation
 
     batch_scenes = 8
     # tight node capacity: padded rows cost full denoiser FLOPs in the chains
-    sg, state, batch = _flagship(max_nodes=48, max_triples=112,
-                                 diffusion_bs=8, batch_scenes=batch_scenes)
-
-    sample = jax.jit(
-        lambda p, bs, b, k: sg.sample_fn(p, bs, b, k, gen_shape=True))
-
-    # compile + warm up
-    out = sample(state.params, state.batch_stats, batch, jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
-
-    n_iters = 3
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = sample(state.params, state.batch_stats, batch,
-                     jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
-
-    scenes_per_sec = batch_scenes / dt
+    sg, state, batch = build_flagship(max_nodes=48, max_triples=112,
+                                      diffusion_bs=8,
+                                      batch_scenes=batch_scenes)
+    scenes_per_sec = time_generation(sg, state, batch, batch_scenes)
     print(json.dumps({
         "metric": "scenes/sec (full generation: 1000-step layout DDPM + "
                   "100-step shape DDIM + VQ decode, 8-scene batch)",

@@ -1,0 +1,104 @@
+"""Benchmark harness: flagship model construction + throughput timing.
+
+Shared by the driver entry points (`__graft_entry__.py`) and the root
+`bench.py`.  The reference never measured throughput (its timing code is
+commented out, scripts/train_3dfront.py:283-285); the harness here defines
+the measured protocol: full dual-branch generation (1000-step layout DDPM +
+100-step shape DDIM + VQ decode) at flagship dimensions on synthetic
+SG-FRONT-format data.
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+from typing import Optional, Tuple
+
+
+def build_flagship(max_nodes: int = 64, max_triples: int = 128,
+                   diffusion_bs: int = 8, batch_scenes: int = 8,
+                   tiny: bool = False,
+                   config_path: Optional[str] = None) -> Tuple:
+    """Flagship EchoScene (full_mp.yaml dims) + one synthetic collated batch.
+
+    Returns (sgdiff, train_state, scene_batch).  `tiny=True` keeps the
+    structure but shrinks every width for CPU dry runs.
+    """
+    import jax
+    from .data.fake import make_fake_dataset
+    from .data.sgfront import SGFrontDataset
+    from .data.collate import collate_scenes, CollateSpec
+    from .models.config import load_config
+    from .models.sgdiff import SGDiff
+
+    sdf_res = 64 if not tiny else 16
+    root = os.path.join(tempfile.gettempdir(),
+                        f"echoscene_graft_fake_r{sdf_res}_s{batch_scenes}")
+    if not os.path.isdir(root) or not os.listdir(root):
+        make_fake_dataset(root, num_scenes=batch_scenes, min_objs=3,
+                          max_objs=5, sdf_res=sdf_res, with_sdf=True)
+    ds = SGFrontDataset(root, use_sdf=True, with_changes=True, seed=0,
+                        sdf_res=sdf_res)
+    if config_path is None:
+        config_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs", "full_mp.yaml")
+    cfg = load_config(config_path)
+    cfg.max_nodes, cfg.max_triples = max_nodes, max_triples
+    cfg.diffusion_bs = diffusion_bs
+    cfg.batch_scenes = batch_scenes
+    if tiny:
+        shrink_config(cfg)
+    spec = CollateSpec(max_nodes=max_nodes, max_triples=max_triples,
+                       max_scenes=batch_scenes, diffusion_bs=diffusion_bs,
+                       with_sdf=True, sdf_res=ds.sdf_res)
+    examples = [ds[i] for i in range(batch_scenes)]
+    batch = collate_scenes(examples, spec, sdf_loader=ds.load_sdf)
+    sg = SGDiff(cfg, num_objs=len(ds.classes), num_preds=len(ds.pred_names),
+                iou_stats=ds.box_stats)
+    state = sg.init(jax.random.PRNGKey(0), batch)
+    return sg, state, batch
+
+
+def shrink_config(cfg) -> None:
+    """Structurally identical, narrow widths for CPU dry runs."""
+    cfg.shape_branch.ddim_steps = 4
+    cfg.embedding_dim = 8
+    cfg.layout_denoiser.model_channels = 32
+    cfg.layout_denoiser.channel_mult = (1, 1)
+    cfg.layout_denoiser.num_res_blocks = 1
+    cfg.layout_denoiser.concat_dim = 32
+    cfg.layout_denoiser.crossattn_dim = 32
+    cfg.layout_denoiser.use_checkpoint = False
+    cfg.layout_diffusion.time_num = 8
+    sd = cfg.shape_branch.denoiser
+    sd.image_size = 4
+    sd.model_channels = 8
+    sd.channel_mult = (1, 2)
+    sd.num_res_blocks = 1
+    sd.context_dim = 32
+    sd.timesteps = 8
+    sd.use_checkpoint = False
+    vq = cfg.shape_branch.vqvae
+    vq.ch = 4
+    vq.n_embed = 16
+    vq.resolution = 16
+
+
+def time_generation(sg, state, batch, batch_scenes: int, n_iters: int = 3,
+                    gen_shape: bool = True) -> float:
+    """Compile + warm up, then average scenes/sec over `n_iters` calls."""
+    import jax
+
+    sample = jax.jit(
+        lambda p, bs, b, k: sg.sample_fn(p, bs, b, k, gen_shape=gen_shape))
+    out = sample(state.params, state.batch_stats, batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = sample(state.params, state.batch_stats, batch,
+                     jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+    return batch_scenes / dt

@@ -141,6 +141,21 @@ def ddim_timesteps(num_ddim_steps: int, num_ddpm_steps: int,
     return steps[steps < num_ddpm_steps]
 
 
+def lambda_uniform_timesteps(num_steps: int, alphas_cumprod: np.ndarray) -> np.ndarray:
+    """Timesteps uniform in half-log-SNR lambda = log(alpha/sigma).
+
+    The natural spacing for exponential-integrator solvers (DPM-Solver++):
+    uniform-t DDIM spacing concentrates almost no steps where the ODE is
+    stiff, costing an order of magnitude in few-step accuracy (measured on
+    the linear-Gaussian golden problem in tests/test_samplers.py).
+    """
+    ac = np.asarray(alphas_cumprod, dtype=np.float64)
+    lam = 0.5 * (np.log(ac) - np.log1p(-ac))
+    targets = np.linspace(lam[-1], lam[0], num_steps)
+    idx = np.unique([int(np.argmin(np.abs(lam - t))) for t in targets])
+    return idx.astype(np.int64)
+
+
 @dataclasses.dataclass(frozen=True)
 class DDIMTables:
     """Per-DDIM-step coefficients (ldm_diffusion_util.py:85-96)."""

@@ -22,7 +22,8 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.schedules import DiffusionTables
+from ..core.schedules import (DiffusionTables, DDIMTables, ddim_tables,
+                              ddim_timesteps)
 from ..core.boxes import angle_to_sincos, descale_box_params, sincos_to_angle
 
 
@@ -195,6 +196,33 @@ class LayoutDiffusion:
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
         (x0, _), _ = jax.lax.scan(step, (x_T, rng), ts)
         return x0
+
+    def make_ddim_tables(self, num_steps: int, eta: float = 0.0) -> DDIMTables:
+        """Sub-schedule for the optional fast layout samplers.
+
+        New TPU-side capability: the reference only ever runs the full
+        1000-step ancestral chain for layouts (p_sample_loop_sg :330-345);
+        exposing the same DDIM/DPM-Solver++ machinery the shape branch uses
+        lets eval trade steps for throughput without touching the model.
+        """
+        import numpy as np
+        steps = ddim_timesteps(num_steps, self.num_timesteps)
+        return ddim_tables(np.asarray(self.t.alphas_cumprod), steps, eta)
+
+    def make_dpmpp_tables(self, num_steps: int) -> DDIMTables:
+        """Lambda-uniform sub-schedule for the DPM-Solver++ fast mode."""
+        import numpy as np
+        from ..core.schedules import lambda_uniform_timesteps
+        ac = np.asarray(self.t.alphas_cumprod)
+        return ddim_tables(ac, lambda_uniform_timesteps(num_steps, ac), 0.0)
+
+    def sample_chain_fast(self, denoise_fn, shape: Tuple[int, ...],
+                          rng: jax.Array, tables: DDIMTables,
+                          method: str = "ddim") -> jnp.ndarray:
+        """Few-step layout sampling (eps parameterisation only)."""
+        assert self.model_mean_type == "eps", self.model_mean_type
+        from .samplers import CHAINS
+        return CHAINS[method](denoise_fn, shape, rng, tables)
 
     @staticmethod
     def split_sample(vec8: jnp.ndarray) -> Dict[str, jnp.ndarray]:

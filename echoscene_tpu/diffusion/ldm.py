@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..core.schedules import DiffusionTables, DDIMTables, ddim_timesteps, ddim_tables
 from .ddpm import _extract, masked_mean
+from .samplers import ddim_chain, dpmpp_chain
 
 
 class ShapeDiffusion:
@@ -71,6 +72,12 @@ class ShapeDiffusion:
         steps = ddim_timesteps(num_steps, self.num_timesteps)
         return ddim_tables(self.np_tables.alphas_cumprod, steps, eta)
 
+    def make_dpmpp_tables(self, num_steps: int) -> DDIMTables:
+        """Lambda-uniform sub-schedule (the right spacing for DPM-Solver++)."""
+        from ..core.schedules import lambda_uniform_timesteps
+        steps = lambda_uniform_timesteps(num_steps, self.np_tables.alphas_cumprod)
+        return ddim_tables(self.np_tables.alphas_cumprod, steps, 0.0)
+
     def ddim_sample_chain(self, denoise_fn, shape: Tuple[int, ...],
                           rng: jax.Array, tables: DDIMTables,
                           x_T: Optional[jnp.ndarray] = None,
@@ -81,38 +88,14 @@ class ShapeDiffusion:
         initial noise (the shared-noise consistency trick passes a repeated
         single grid here).
         """
-        if x_T is None:
-            rng, init_rng = jax.random.split(rng)
-            x_T = jax.random.normal(init_rng, shape)
+        return ddim_chain(denoise_fn, shape, rng, tables, x_T=x_T,
+                          temperature=temperature)
 
-        step_data = (
-            jnp.asarray(tables.timesteps),
-            jnp.asarray(tables.alphas),
-            jnp.asarray(tables.alphas_prev),
-            jnp.asarray(tables.sqrt_one_minus_alphas),
-            jnp.asarray(tables.sigmas),
-        )
-        ndim = len(shape)
-        bcast = lambda v: v.reshape((1,) * ndim)
-
-        def step(carry, inputs):
-            x, key = carry
-            t_scalar, a_t, a_prev, sqrt_1m_a, sigma = inputs
-            key, nkey = jax.random.split(key)
-            t_vec = jnp.full((shape[0],), t_scalar, jnp.int32)
-            e_t = denoise_fn(x, t_vec)
-            pred_x0 = (x - bcast(sqrt_1m_a) * e_t) / jnp.sqrt(bcast(a_t))
-            dir_xt = jnp.sqrt(jnp.clip(1.0 - bcast(a_prev) - bcast(sigma) ** 2,
-                                       0.0, None)) * e_t
-            noise = (bcast(sigma) * jax.random.normal(nkey, x.shape, x.dtype)
-                     * temperature)
-            x_prev = jnp.sqrt(bcast(a_prev)) * pred_x0 + dir_xt + noise
-            return (x_prev, key), None
-
-        # scan runs from the LAST ddim step down to the first (np.flip, ddim.py:150)
-        flipped = jax.tree.map(lambda a: a[::-1], step_data)
-        (x0, _), _ = jax.lax.scan(step, (x_T, rng), flipped)
-        return x0
+    def dpmpp_sample_chain(self, denoise_fn, shape: Tuple[int, ...],
+                           rng: jax.Array, tables: DDIMTables,
+                           x_T: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """DPM-Solver++(2M) over the same sub-schedule (optional fast mode)."""
+        return dpmpp_chain(denoise_fn, shape, rng, tables, x_T=x_T)
 
     def shared_noise(self, rng: jax.Array, batch: int,
                      item_shape: Tuple[int, ...]) -> jnp.ndarray:

@@ -13,37 +13,9 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from typing import Dict, List
 
-import numpy as np
-
-from ..core.boxes import descale_box_params
-from .metrics import (validate_constrains, validate_constrains_changes,
-                      new_accuracy_dict)
-
-
-def write_accuracy_report(path: str, named_accs) -> str:
-    """Reference report format (eval_3dfront.py:307-328)."""
-    lines = []
-    for dic, typ in named_accs:
-        m = lambda k: float(np.mean(dic[k])) if dic[k] else float("nan")
-        lr = np.nanmean([m("left"), m("right")])
-        fb = np.nanmean([m("front"), m("behind")])
-        bism = np.nanmean([m("bigger"), m("smaller")])
-        tash = np.nanmean([m("taller"), m("shorter")])
-        stand, close, symm, total = (m("standing on"), m("close by"),
-                                     m("symmetrical to"), m("total"))
-        mom = np.nanmean([lr, fb, bism, tash, stand, close, symm])
-        lines.append(
-            "{} & L/R: {:.2f} & F/B: {:.2f} & Bi/Sm: {:.2f} & Ta/Sh: {:.2f} "
-            "& Stand: {:.2f} & Close: {:.2f} & Symm: {:.2f}. Total: &{:.2f}"
-            .format(typ, lr, fb, bism, tash, stand, close, symm, total))
-        lines.append("means of mean: {:.2f}\n".format(mom))
-    text = "\n".join(lines) + "\n"
-    with open(path, "w") as f:
-        f.write(text)
-    print(text)
-    return text
+from .evaluator import SceneEvaluator, write_accuracy_report  # noqa: F401
+# (write_accuracy_report re-exported for compatibility)
 
 
 def evaluate(args):
@@ -73,6 +45,15 @@ def evaluate(args):
                       with_clip=margs["with_CLIP"])
     cfg.replace_latent = margs["replace_latent"]
     cfg.residual = margs["residual"]
+    # optional fast-sampler overrides (protocol default: full DDPM + DDIM-100)
+    if args.layout_sampler:
+        cfg.layout_diffusion.sampler = args.layout_sampler
+    if args.layout_steps:
+        cfg.layout_diffusion.sample_steps = args.layout_steps
+    if args.shape_sampler:
+        cfg.shape_branch.sampler = args.shape_sampler
+    if args.shape_steps:
+        cfg.shape_branch.ddim_steps = args.shape_steps
     ds0 = make_ds("none")
     cfg.layout_diffusion.train_stats_file = ds0.box_stats_path
 
@@ -90,106 +71,18 @@ def evaluate(args):
         state = restore_checkpoint(
             os.path.join(args.exp, "checkpoint", f"model{args.epoch}"), state)
 
-    stats = ds0.box_stats
-    os.makedirs(args.store_path, exist_ok=True)
-    if args.render_dir:
-        os.makedirs(args.render_dir, exist_ok=True)
+    evaluator = SceneEvaluator(
+        sg, state, spec, ds0.box_stats, gen_shape=args.gen_shape,
+        store_path=args.store_path, render_dir=args.render_dir,
+        dump_sdfs=args.dump_sdfs, eval_batch=args.eval_batch)
+
     key = jax.random.PRNGKey(47)
-
-    sample_jit = jax.jit(lambda p, bs, b, k, manip: sg.sample_fn(
-        p, bs, b, k, gen_shape=args.gen_shape, with_manipulation=manip),
-        static_argnames=("manip",))
-
-    def score_scene(ds, ex, out_slice, etype, acc, acc_unchanged):
-        n = ex.num_nodes
-        sizes, trans, angles, keep = out_slice["sizes"], out_slice[
-            "translations"], out_slice["angles"], out_slice["keep"]
-        boxes6 = descale_box_params(np.concatenate([sizes, trans], -1), stats)
-        if args.gen_shape and out_slice.get("shapes") is not None and args.dump_sdfs:
-            np.savez_compressed(
-                os.path.join(args.store_path, f"{ex.scan_id}.npz"),
-                sdfs=out_slice["shapes"][..., 0],
-                instance_ids=np.asarray(
-                    (ex.instance_ids or list(range(n - 1))) + [-1]),
-                categories=np.asarray(
-                    [ds.vocab["object_idx_to_name"][c].rstrip("\n")
-                     for c in ex.objs]))
-        if args.render_dir:
-            from .render import render_scene_topdown, save_png
-            boxes7 = np.concatenate([boxes6, angles], -1)
-            sdfs = None
-            if args.gen_shape and out_slice.get("shapes") is not None:
-                sdfs = out_slice["shapes"][..., 0]
-            img = render_scene_topdown(
-                ex.objs, boxes7, ds.vocab["object_idx_to_name"], sdfs)
-            save_png(img, os.path.join(args.render_dir, f"{ex.scan_id}.png"))
-        if etype != "none":
-            # untouched nodes keep their GT boxes (eval_3dfront.py:191-202)
-            gt6 = descale_box_params(ex.boxes[:, :6], stats)
-            boxes6 = np.where(keep[:, None] == 1, gt6, boxes6)
-            validate_constrains_changes(ex.triples, boxes6, keep,
-                                        ds.vocab["pred_idx_to_name"], acc)
-            validate_constrains(ex.triples, boxes6, keep,
-                                ds.vocab["pred_idx_to_name"], acc_unchanged)
-        else:
-            validate_constrains(ex.triples, boxes6, None,
-                                ds.vocab["pred_idx_to_name"], acc)
-
-    def run_eval(etype: str, limit: int):
-        nonlocal key
-        ds = make_ds(etype)
-        acc = new_accuracy_dict()
-        acc_unchanged = new_accuracy_dict()
-        n_eval = min(limit or len(ds), len(ds))
-        # batch several scenes per generation call (the reference evaluates
-        # one scene per 1100-step run, eval_3dfront.py:236-241; batching is a
-        # pure throughput win here — results are per-scene identical)
-        group: list = []
-        for i in range(n_eval):
-            ex = ds[i]
-            if ex is not None:
-                group.append(ex)
-            if len(group) < args.eval_batch and i < n_eval - 1:
-                continue
-            if not group:
-                continue
-            # mirror the collate capacity rule so per-scene offsets line up
-            kept, nn, tt = [], 0, 0
-            for e in group:
-                if (nn + e.num_nodes <= spec.max_nodes
-                        and tt + len(e.triples) <= spec.max_triples
-                        and len(kept) < spec.max_scenes):
-                    kept.append(e)
-                    nn += e.num_nodes
-                    tt += len(e.triples)
-            group = kept
-            batch = collate_scenes(group, spec)
-            if batch is None:
-                group = []
-                continue
-            key, sk = jax.random.split(key)
-            out = sample_jit(state.params, state.batch_stats, batch, sk,
-                             etype != "none")
-            out_np = {k: np.asarray(v) for k, v in out.items()}
-            off = 0
-            for ex_i in group:
-                n = ex_i.num_nodes
-                sl = {k: v[off:off + n] for k, v in out_np.items()}
-                score_scene(ds, ex_i, sl, etype, acc, acc_unchanged)
-                off += n
-            group = []
-        report = os.path.join(args.store_path,
-                              f"{etype}_accuracy_analysis.txt")
-        if etype != "none":
-            write_accuracy_report(report, [(acc, "changed nodes"),
-                                           (acc_unchanged, "unchanged nodes")])
-        else:
-            write_accuracy_report(report, [(acc, "acc")])
-        return acc
-
     results = {}
     for etype in args.eval_types.split(","):
-        results[etype.strip()] = run_eval(etype.strip(), args.limit)
+        etype = etype.strip()
+        acc, _unchanged, key = evaluator.run(make_ds(etype), etype,
+                                             args.limit, key)
+        results[etype] = acc
     return results
 
 
@@ -212,6 +105,16 @@ def build_parser():
                    help="save generated SDF grids per scene (consistency CLI input)")
     p.add_argument("--render_dir", default=None,
                    help="save top-down renders (FID generated set)")
+    p.add_argument("--layout_sampler", default=None,
+                   choices=["ddpm", "ddim", "dpmpp"],
+                   help="override layout sampler (default: full DDPM chain)")
+    p.add_argument("--layout_steps", type=int, default=0,
+                   help="steps for the fast layout samplers")
+    p.add_argument("--shape_sampler", default=None,
+                   choices=["ddim", "dpmpp"],
+                   help="override shape sampler (default: DDIM)")
+    p.add_argument("--shape_steps", type=int, default=0,
+                   help="override shape sampler step count")
     return p
 
 

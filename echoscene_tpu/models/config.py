@@ -46,6 +46,11 @@ class LayoutDiffusionConfig:
     loss_iou: bool = False
     iou_type: str = "obb"
     train_stats_file: Optional[str] = None
+    # OPTIONAL fast sampling (protocol parity is the full ancestral chain):
+    # 'ddpm' = full chain; 'ddim'/'dpmpp' integrate the probability-flow ODE
+    # over `sample_steps` sub-steps.
+    sampler: str = "ddpm"
+    sample_steps: int = 50
 
 
 @dataclass
@@ -88,6 +93,7 @@ class VQVAEConfig:
 @dataclass
 class ShapeBranchConfig:
     sampling: str = "greedy"       # greedy | random | balance
+    sampler: str = "ddim"          # ddim (protocol parity) | dpmpp (optional)
     ddim_steps: int = 100
     ddim_eta: float = 0.0
     uc_scale: float = 3.0
@@ -171,6 +177,7 @@ def load_config(diff_yaml: str, network_type: str = "echoscene",
     sb = root.get("shape_branch", {})
     sbc = ShapeBranchConfig(
         sampling=sb.get("sampling", "greedy"),
+        sampler=sb.get("sampler", "ddim"),
         ddim_steps=int(sb.get("ddim_steps", 100)),
         ddim_eta=float(sb.get("ddim_eta", 0.0)),
         uc_scale=float(sb.get("uc_scale", 3.0)),

@@ -108,12 +108,22 @@ class SGDiff:
             loss_iou=lc.loss_iou, iou_type=lc.iou_type,
             iou_stats=None if iou_stats is None else jnp.asarray(iou_stats))
         self.is_echoscene = cfg.network_type == "echoscene"
+        if lc.sampler == "dpmpp":
+            self.layout_fast_tables = self.layout_diff.make_dpmpp_tables(
+                lc.sample_steps)
+        elif lc.sampler != "ddpm":
+            self.layout_fast_tables = self.layout_diff.make_ddim_tables(
+                lc.sample_steps)
         if self.is_echoscene:
             sd = cfg.shape_branch.denoiser
             self.shape_diff = ShapeDiffusion(S.make_diffusion_tables(
                 S.ldm_linear_betas(sd.linear_start, sd.linear_end, sd.timesteps)))
-            self.ddim_tables = self.shape_diff.make_ddim_tables(
-                cfg.shape_branch.ddim_steps, cfg.shape_branch.ddim_eta)
+            if cfg.shape_branch.sampler == "dpmpp":
+                self.ddim_tables = self.shape_diff.make_dpmpp_tables(
+                    cfg.shape_branch.ddim_steps)
+            else:
+                self.ddim_tables = self.shape_diff.make_ddim_tables(
+                    cfg.shape_branch.ddim_steps, cfg.shape_branch.ddim_eta)
         self._train_step = None
         self._sample = None
 
@@ -257,6 +267,13 @@ class SGDiff:
         sample_with_changes/_additions (:422-532): change noise on flagged
         nodes + latent splicing for untouched ones.
         """
+        if self.module_infer is not self.module:
+            # pre-cast the f32 master params to bf16 ONCE per sampling call,
+            # guaranteeing the scan closures hold bf16 buffers (no per-step
+            # converts inside the chains); flax's per-op casts become no-ops.
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
         variables = {"params": params, "batch_stats": batch_stats}
         n = batch.num_nodes
         k_change, k_box, k_shape = jax.random.split(rng, 3)
@@ -273,9 +290,15 @@ class SGDiff:
                 variables, x, t, ctx["obj_embed"], batch,
                 method=EchoSceneModule.layout_eps)
 
-        vec8 = self.layout_diff.sample_chain(
-            box_denoise, (n, self.cfg.layout_denoiser.in_channels), k_box,
-            clip_denoised=False)
+        box_shape = (n, self.cfg.layout_denoiser.in_channels)
+        lc = self.cfg.layout_diffusion
+        if lc.sampler == "ddpm":
+            vec8 = self.layout_diff.sample_chain(
+                box_denoise, box_shape, k_box, clip_denoised=False)
+        else:
+            vec8 = self.layout_diff.sample_chain_fast(
+                box_denoise, box_shape, k_box, self.layout_fast_tables,
+                method=lc.sampler)
         out = dict(self.layout_diff.split_sample(vec8))
         out["keep"] = 1.0 - batch.change_flags
 
@@ -292,9 +315,14 @@ class SGDiff:
                     method=EchoSceneModule.shape_eps)
 
             x_T = self.shape_diff.shared_noise(k_shape, n, (r, r, r, zc))
-            z0 = self.shape_diff.ddim_sample_chain(
-                shape_denoise, (n, r, r, r, zc), k_shape, self.ddim_tables,
-                x_T=x_T)
+            if sd_cfg.sampler == "dpmpp":
+                z0 = self.shape_diff.dpmpp_sample_chain(
+                    shape_denoise, (n, r, r, r, zc), k_shape,
+                    self.ddim_tables, x_T=x_T)
+            else:
+                z0 = self.shape_diff.ddim_sample_chain(
+                    shape_denoise, (n, r, r, r, zc), k_shape,
+                    self.ddim_tables, x_T=x_T)
             # chunked VQ decode to bound memory (64^3 output grids)
             if n % decode_chunk == 0 and n > decode_chunk:
                 zc_ = z0.reshape(n // decode_chunk, decode_chunk, *z0.shape[1:])

@@ -1,0 +1,81 @@
+"""Int8 (W8A8) quantized convolution for the sampling path.
+
+New TPU-native capability (no reference analog): v5e executes int8 MXU ops at
+2x the bf16 rate, and the generation bench is conv-bound in the shape UNet
+(BASELINE.md).  `Int8Conv` is parameter-compatible with `flax.linen.Conv`
+(same 'kernel'/'bias' names, shapes and init), so the f32 training params are
+shared unchanged; quantization happens at call time:
+
+  * weights: symmetric per-OUTPUT-CHANNEL scales (kernel is loop-invariant in
+    the sampling scans — XLA hoists the quantize),
+  * activations: symmetric per-TENSOR dynamic scale (abs-max), recomputed
+    every call,
+  * conv accumulates in int32, dequantized with the product of both scales.
+
+This is an OPT-IN experimental mode (`sample_dtype: int8`); the protocol
+bench stays bf16.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def quantize_symmetric(x: jnp.ndarray, axes, eps: float = 1e-8):
+    """abs-max int8 quantization over `axes`; returns (q, scale)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax, eps) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+class Int8Conv(nn.Module):
+    """Drop-in channel-last conv computing in int8 with int32 accumulation."""
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Sequence[Tuple[int, int]]
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros
+    out_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
+        kernel = self.param("kernel", self.kernel_init, kshape)
+        bias = self.param("bias", self.bias_init, (self.features,))
+
+        # weights: per-output-channel (last axis) scales
+        wq, w_scale = quantize_symmetric(kernel,
+                                         axes=tuple(range(kernel.ndim - 1)))
+        # activations: per-tensor dynamic scale
+        xq, x_scale = quantize_symmetric(x, axes=None)
+
+        rank = len(self.kernel_size)
+        spatial = "DHW"[-rank:] if rank <= 3 else None
+        assert spatial is not None, rank
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kshape,
+            (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+        y = jax.lax.conv_general_dilated(
+            xq, wq, window_strides=tuple(self.strides),
+            padding=list(self.padding), dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        deq = (x_scale.reshape(()) *
+               w_scale.reshape((1,) * (y.ndim - 1) + (self.features,)))
+        y = y.astype(jnp.float32) * deq + bias.astype(jnp.float32)
+        return y.astype(self.out_dtype)
+
+
+def is_int8(dtype) -> bool:
+    """True when the module-tree dtype carries the 'int8' conv sentinel."""
+    return isinstance(dtype, str) and dtype == "int8"
+
+
+def act_dtype(dtype):
+    """Activation dtype for non-conv ops under the sentinel (bf16)."""
+    return jnp.bfloat16 if is_int8(dtype) else dtype

@@ -66,6 +66,31 @@ def build_dp_train_step(sgdiff: SGDiff, mesh: Mesh, axis: str = "data",
     return make
 
 
+def build_dp_sample(sgdiff: SGDiff, mesh: Mesh, axis: str = "data",
+                    gen_shape: bool = True,
+                    with_manipulation: bool = False) -> Callable:
+    """Data-parallel scene generation: sampling is embarrassingly parallel
+    over scenes, so each device runs the full layout+shape chains on its own
+    graph shard (params replicated, batches/rngs sharded on `axis`).
+
+    Returns sample(params, batch_stats, stacked_batch, rngs) -> outputs whose
+    arrays keep the leading device axis (n_devices, ...).
+    """
+    def local_sample(params, batch_stats, batch, rng):
+        batch = jax.tree.map(lambda x: x[0], batch)
+        out = sgdiff.sample_fn(params, batch_stats, batch, rng[0],
+                               gen_shape=gen_shape,
+                               with_manipulation=with_manipulation)
+        return jax.tree.map(lambda x: x[None], out)
+
+    mapped = jax.shard_map(
+        local_sample, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
 def shard_params_for_model_parallel(params, mesh: Mesh,
                                     axis: str = "model"):
     """Place large shape-UNet kernels on the 'model' axis (tensor parallel).

@@ -40,7 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--with_CLIP", type=bool_flag, default=True)
     p.add_argument("--shuffle_objs", type=bool_flag, default=True)
     p.add_argument("--with_angles", type=bool_flag, default=True)
-    p.add_argument("--num_box_params", type=int, default=6)
+    # 6 or 7 accepted for reference-CLI parity (train_3dfront.py:52,126-133).
+    # Both feed the same 7-dim (size,trans,angle) vector into the layout
+    # branch when with_angles=True — the reference's 7 merely carries the raw
+    # angle inside dec_boxes instead of beside it, and p_losses converts the
+    # last dim to sincos either way (diffusion_ddpm.py:488-489).
+    p.add_argument("--num_box_params", type=int, default=6, choices=[6, 7])
     p.add_argument("--with_changes", type=bool_flag, default=True)
     p.add_argument("--loadmodel", type=bool_flag, default=False)
     p.add_argument("--loadepoch", type=int, default=90)

@@ -5,7 +5,7 @@ import jax
 import pytest
 
 from echoscene_tpu.parallel.mesh import make_mesh, stack_shards
-from echoscene_tpu.parallel.dp import (build_dp_train_step,
+from echoscene_tpu.parallel.dp import (build_dp_sample, build_dp_train_step,
                                        shard_params_for_model_parallel)
 
 
@@ -61,6 +61,30 @@ def test_dp_train_step_matches_single_device(tiny_setup):
         new_state.params["layout_denoiser"],
         ref_state.params["layout_denoiser"]))
     assert max(diffs) < 1e-4
+
+
+def test_dp_sample_matches_single_device(tiny_setup):
+    """Sampling is embarrassingly parallel: identical shards + identical keys
+    must reproduce the single-device sample bit-for-bit on every shard."""
+    sg, state, batch = tiny_setup
+    n_dev = 2
+    mesh = make_mesh((n_dev,), ("data",), jax.devices()[:n_dev])
+    host_batch = jax.device_get(batch)
+    stacked = stack_shards([host_batch] * n_dev)
+    rng = jax.random.PRNGKey(11)
+    rngs = jax.numpy.stack([rng] * n_dev)
+
+    sample = build_dp_sample(sg, mesh, gen_shape=True)
+    out = sample(state.params, state.batch_stats, stacked, rngs)
+    ref = jax.jit(lambda p, bs, b, k: sg.sample_fn(p, bs, b, k, gen_shape=True))(
+        state.params, state.batch_stats, batch, rng)
+
+    for key in ("sizes", "translations", "angles", "shapes"):
+        got = np.asarray(out[key])
+        want = np.asarray(ref[key])
+        assert got.shape == (n_dev,) + want.shape, (key, got.shape)
+        for d in range(n_dev):
+            np.testing.assert_allclose(got[d], want, atol=1e-5, err_msg=key)
 
 
 def test_model_parallel_sharding_placement(tiny_setup):

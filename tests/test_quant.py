@@ -1,0 +1,58 @@
+"""Int8Conv: parameter compatibility with flax Conv + quantization accuracy."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from echoscene_tpu.nn.quant import Int8Conv, quantize_symmetric
+
+
+def _pair():
+    features, rank = 16, 3
+    ks = (3,) * rank
+    pad = [(1, 1)] * rank
+    ref = nn.Conv(features, kernel_size=ks, strides=(1,) * rank, padding=pad)
+    q = Int8Conv(features=features, kernel_size=ks, strides=(1,) * rank,
+                 padding=pad)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 6, 6, 8))
+    return ref, q, x
+
+
+def test_param_tree_compatible_with_flax_conv():
+    ref, q, x = _pair()
+    vr = ref.init(jax.random.PRNGKey(1), x)
+    vq = q.init(jax.random.PRNGKey(1), x)
+    # same names, shapes AND init values -> trained f32 trees drop in as-is
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), vr["params"], vq["params"])
+
+
+def test_int8_conv_tracks_f32_conv():
+    ref, q, x = _pair()
+    v = ref.init(jax.random.PRNGKey(1), x)
+    y_ref = np.asarray(ref.apply(v, x), np.float32)
+    y_q = np.asarray(q.apply(v, x), np.float32)
+    # W8A8 with per-channel weight scales: ~1% relative error at this width
+    rel = np.abs(y_q - y_ref) / (np.abs(y_ref).mean() + 1e-6)
+    assert rel.mean() < 0.02, rel.mean()
+    assert rel.max() < 0.3, rel.max()
+
+
+def test_quantize_symmetric_range():
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 5)) * 3.0
+    q, scale = quantize_symmetric(x, axes=None)
+    assert q.dtype == jnp.int8
+    assert int(jnp.max(jnp.abs(q))) == 127
+    s = float(np.asarray(scale).reshape(()))
+    np.testing.assert_allclose(np.asarray(q, np.float32) * np.asarray(scale),
+                               np.asarray(x), atol=s * 0.51)
+
+
+def test_strided_int8_conv_shapes():
+    rank = 3
+    q = Int8Conv(features=8, kernel_size=(3,) * rank, strides=(1, 2, 2),
+                 padding=[(1, 1)] * rank)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 8, 8, 4))
+    v = q.init(jax.random.PRNGKey(4), x)
+    y = q.apply(v, x)
+    assert y.shape == (2, 4, 4, 4, 8)
