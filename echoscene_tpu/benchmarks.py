@@ -18,7 +18,8 @@ from typing import Optional, Tuple
 def build_flagship(max_nodes: int = 64, max_triples: int = 128,
                    diffusion_bs: int = 8, batch_scenes: int = 8,
                    tiny: bool = False,
-                   config_path: Optional[str] = None) -> Tuple:
+                   config_path: Optional[str] = None,
+                   sample_dtype: Optional[str] = None) -> Tuple:
     """Flagship EchoScene (full_mp.yaml dims) + one synthetic collated batch.
 
     Returns (sgdiff, train_state, scene_batch).  `tiny=True` keeps the
@@ -47,6 +48,8 @@ def build_flagship(max_nodes: int = 64, max_triples: int = 128,
     cfg.max_nodes, cfg.max_triples = max_nodes, max_triples
     cfg.diffusion_bs = diffusion_bs
     cfg.batch_scenes = batch_scenes
+    if sample_dtype is not None:
+        cfg.sample_dtype = sample_dtype
     if tiny:
         shrink_config(cfg)
     spec = CollateSpec(max_nodes=max_nodes, max_triples=max_triples,
@@ -94,11 +97,19 @@ def time_generation(sg, state, batch, batch_scenes: int, n_iters: int = 3,
         lambda p, bs, b, k: sg.sample_fn(p, bs, b, k, gen_shape=gen_shape))
     out = sample(state.params, state.batch_stats, batch, jax.random.PRNGKey(0))
     jax.block_until_ready(out)
+    float(out["sizes"].sum())  # D2H readback — see timing note below
 
     t0 = time.perf_counter()
+    acc = 0.0
     for i in range(n_iters):
         out = sample(state.params, state.batch_stats, batch,
                      jax.random.PRNGKey(i + 1))
+    # block_until_ready alone has proven unreliable for timing through the
+    # tunneled TPU backend (microbenchmarks returned physically impossible
+    # rates); a device-to-host readback of a result scalar cannot complete
+    # before the computation has.
     jax.block_until_ready(out)
+    acc += float(out["sizes"].sum())
     dt = (time.perf_counter() - t0) / n_iters
+    assert acc == acc  # consume the readback (guards DCE)
     return batch_scenes / dt

@@ -74,7 +74,8 @@ def evaluate(args):
     evaluator = SceneEvaluator(
         sg, state, spec, ds0.box_stats, gen_shape=args.gen_shape,
         store_path=args.store_path, render_dir=args.render_dir,
-        dump_sdfs=args.dump_sdfs, eval_batch=args.eval_batch)
+        dump_sdfs=args.dump_sdfs, eval_batch=args.eval_batch,
+        dp_devices=args.dp_devices)
 
     key = jax.random.PRNGKey(47)
     results = {}
@@ -115,6 +116,8 @@ def build_parser():
                    help="override shape sampler (default: DDIM)")
     p.add_argument("--shape_steps", type=int, default=0,
                    help="override shape sampler step count")
+    p.add_argument("--dp_devices", type=int, default=1,
+                   help="shard generation over a data mesh of this many chips")
     return p
 
 

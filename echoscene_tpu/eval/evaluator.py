@@ -51,7 +51,8 @@ class SceneEvaluator:
     def __init__(self, sg, state, spec, stats, *, gen_shape: bool = False,
                  store_path: str = "./eval_out",
                  render_dir: Optional[str] = None,
-                 dump_sdfs: bool = False, eval_batch: int = 1):
+                 dump_sdfs: bool = False, eval_batch: int = 1,
+                 dp_devices: int = 1):
         import jax
         self.sg = sg
         self.state = state
@@ -62,6 +63,7 @@ class SceneEvaluator:
         self.render_dir = render_dir
         self.dump_sdfs = dump_sdfs
         self.eval_batch = eval_batch
+        self.dp_devices = dp_devices
         os.makedirs(store_path, exist_ok=True)
         if render_dir:
             os.makedirs(render_dir, exist_ok=True)
@@ -69,6 +71,23 @@ class SceneEvaluator:
             lambda p, bs, b, k, manip: sg.sample_fn(
                 p, bs, b, k, gen_shape=gen_shape, with_manipulation=manip),
             static_argnames=("manip",))
+        self._dp_sample = {}
+        if dp_devices > 1:
+            from ..parallel.mesh import make_mesh
+            assert len(jax.devices()) >= dp_devices, (
+                len(jax.devices()), dp_devices)
+            self._mesh = make_mesh((dp_devices,), ("data",),
+                                   jax.devices()[:dp_devices])
+
+    def _dp_sampler(self, manip: bool):
+        """Sampling is embarrassingly parallel over scenes: each device runs
+        the full chains on its own shard (parallel.dp.build_dp_sample)."""
+        if manip not in self._dp_sample:
+            from ..parallel.dp import build_dp_sample
+            self._dp_sample[manip] = build_dp_sample(
+                self.sg, self._mesh, gen_shape=self.gen_shape,
+                with_manipulation=manip)
+        return self._dp_sample[manip]
 
     # ------------------------------------------------------------------
     def score_scene(self, ds, ex, out_slice: Dict[str, np.ndarray],
@@ -121,6 +140,41 @@ class SceneEvaluator:
         acc = new_accuracy_dict()
         acc_unchanged = new_accuracy_dict()
         n_eval = min(limit or len(ds), len(ds))
+        manip = etype != "none"
+
+        def score_group(group, out_np):
+            off = 0
+            for ex_i in group:
+                n = ex_i.num_nodes
+                sl = {k: v[off:off + n] for k, v in out_np.items()}
+                self.score_scene(ds, ex_i, sl, etype, acc, acc_unchanged)
+                off += n
+
+        pending: List = []   # (group, batch) shards awaiting a dp flush
+
+        def flush_dp():
+            nonlocal key
+            if not pending:
+                return
+            from ..parallel.mesh import stack_shards
+            # pad the shard list by repeating the last batch; the repeats'
+            # outputs are simply not scored
+            shards = [b for _, b in pending]
+            while len(shards) < self.dp_devices:
+                shards.append(shards[-1])
+            stacked = stack_shards([jax.device_get(b) for b in shards])
+            keys = []
+            for _ in range(self.dp_devices):
+                key, sk = jax.random.split(key)
+                keys.append(sk)
+            out = self._dp_sampler(manip)(
+                self.state.params, self.state.batch_stats, stacked,
+                jax.numpy.stack(keys))
+            out_np = {k: np.asarray(v) for k, v in out.items()}
+            for d, (group, _) in enumerate(pending):
+                score_group(group, {k: v[d] for k, v in out_np.items()})
+            pending.clear()
+
         group: List = []
         for i in range(n_eval):
             ex = ds[i]
@@ -144,17 +198,18 @@ class SceneEvaluator:
             if batch is None:
                 group = []
                 continue
-            key, sk = jax.random.split(key)
-            out = self._sample(self.state.params, self.state.batch_stats,
-                               batch, sk, etype != "none")
-            out_np = {k: np.asarray(v) for k, v in out.items()}
-            off = 0
-            for ex_i in group:
-                n = ex_i.num_nodes
-                sl = {k: v[off:off + n] for k, v in out_np.items()}
-                self.score_scene(ds, ex_i, sl, etype, acc, acc_unchanged)
-                off += n
+            if self.dp_devices > 1:
+                pending.append((group, batch))
+                if len(pending) == self.dp_devices:
+                    flush_dp()
+            else:
+                key, sk = jax.random.split(key)
+                out = self._sample(self.state.params, self.state.batch_stats,
+                                   batch, sk, manip)
+                out_np = {k: np.asarray(v) for k, v in out.items()}
+                score_group(group, out_np)
             group = []
+        flush_dp()
         report = os.path.join(self.store_path,
                               f"{etype}_accuracy_analysis.txt")
         if etype != "none":

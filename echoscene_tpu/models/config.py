@@ -133,7 +133,10 @@ class EchoSceneConfig:
     lr_evo: Tuple[float, ...] = (5e-5, 1e-5, 5e-6)
     # precision
     compute_dtype: str = "float32"         # training compute: 'float32' | 'bfloat16'
-    sample_dtype: str = "bfloat16"         # sampling compute (denoiser+decoder);
+    sample_dtype: str = "bfloat16"         # sampling compute (denoiser+decoder):
+                                           # 'float32' | 'bfloat16' | 'int8'
+                                           # (int8 = experimental W8A8 shape-UNet
+                                           # convs, ~1.3x conv speedup on v5e);
                                            # chain/posterior math stays f32
 
 

@@ -52,7 +52,12 @@ class EchoSceneModule(nn.Module):
         gdim = cfg.embedding_dim               # 64
         add_dim = 512 if cfg.with_clip else 0
         self.out_dim_ini_encoder = gdim * 2 + add_dim   # 640
-        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        # 'int8' is a conv-quantization sentinel consumed by nn.blocks._conv;
+        # everything that is not a torso conv computes in bf16 under it
+        dtype = {"bfloat16": jnp.bfloat16, "int8": "int8"}.get(
+            cfg.compute_dtype, None)
+        from ..nn.quant import act_dtype
+        adt = act_dtype(dtype)
 
         self.obj_embeddings_ec = nn.Embed(self.num_objs + 1, gdim * 2)
         self.pred_embeddings_ec = nn.Embed(self.num_preds, gdim * 2)
@@ -63,7 +68,7 @@ class EchoSceneModule(nn.Module):
             pooling=cfg.gconv_pooling,
             mlp_normalization=cfg.mlp_normalization,
             residual=cfg.residual,
-            dtype=dtype,
+            dtype=adt,
         )
         self.gconv_net_ec = GraphTripleConvNet(
             input_dim_obj=gdim * 2 + add_dim,
@@ -84,7 +89,7 @@ class EchoSceneModule(nn.Module):
                 rel_dims = [self.out_dim_ini_encoder, 1280, 4096]
             self.rel_s_mlp = MLP(rel_dims, batch_norm=cfg.mlp_normalization,
                                  final_nonlinearity=False, kernel_init="kaiming",
-                                 dtype=dtype)
+                                 dtype=adt)
             sd = cfg.shape_branch.denoiser
             self.shape_denoiser = ShapeDenoiser(
                 image_size=sd.image_size, in_channels=sd.in_channels,
@@ -105,7 +110,8 @@ class EchoSceneModule(nn.Module):
                 ch_mult=tuple(vq.ch_mult), num_res_blocks=vq.num_res_blocks,
                 attn_resolutions=tuple(vq.attn_resolutions),
                 in_channels=vq.in_channels, out_ch=vq.out_ch,
-                z_channels=vq.z_channels, resolution=vq.resolution, dtype=dtype)
+                z_channels=vq.z_channels, resolution=vq.resolution,
+                dtype=adt)  # VQ decode stays bf16 even under int8 (runs once)
 
         ld = cfg.layout_denoiser
         self.layout_denoiser = LayoutDenoiser(
@@ -117,7 +123,7 @@ class EchoSceneModule(nn.Module):
             conditioning_key=ld.conditioning_key, concat_dim=ld.concat_dim,
             crossattn_dim=ld.crossattn_dim, using_clip=ld.using_clip,
             enable_t_emb=ld.enable_t_emb, use_checkpoint=ld.use_checkpoint,
-            num_preds=16, dtype=dtype)
+            num_preds=16, dtype=adt)  # layout chain is <3% of sample time
 
     # ------------------------------------------------------------------
     def _embed_graph(self, view: GraphBatch):

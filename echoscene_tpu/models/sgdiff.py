@@ -91,11 +91,13 @@ class SGDiff:
                  iou_stats: Optional[np.ndarray] = None):
         self.cfg = cfg
         self.module = EchoSceneModule(cfg, num_objs=num_objs, num_preds=num_preds)
-        # inference twin: same param structure, bf16 compute (flax casts the
-        # f32 params per-op; GroupNorm/softmax stay f32 inside the modules)
-        if cfg.sample_dtype == "bfloat16" and cfg.compute_dtype != "bfloat16":
+        # inference twin: same param structure, bf16 (or experimental int8
+        # W8A8 shape-UNet convs) compute; GroupNorm/softmax stay f32 inside
+        # the modules either way
+        if (cfg.sample_dtype in ("bfloat16", "int8")
+                and cfg.sample_dtype != cfg.compute_dtype):
             import dataclasses as _dc
-            infer_cfg = _dc.replace(cfg, compute_dtype="bfloat16")
+            infer_cfg = _dc.replace(cfg, compute_dtype=cfg.sample_dtype)
             self.module_infer = EchoSceneModule(infer_cfg, num_objs=num_objs,
                                                 num_preds=num_preds)
         else:

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .quant import Int8Conv, act_dtype, is_int8
+
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int,
                        max_period: float = 10000.0) -> jnp.ndarray:
@@ -102,15 +104,19 @@ def zero_init_conv(features: int, kernel: Sequence[int], **kw) -> nn.Conv:
 
 
 def _conv(features: int, spatial_rank: int, stride=1, kernel: int = 3,
-          zero: bool = False, dtype=None, name=None) -> nn.Conv:
+          zero: bool = False, dtype=None, name=None) -> nn.Module:
     ks = (kernel,) * spatial_rank
     strides = stride if isinstance(stride, tuple) else (stride,) * spatial_rank
+    padding = [(kernel // 2, kernel // 2)] * spatial_rank
     init = {}
     if zero:
         init = dict(kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros)
+    if is_int8(dtype):
+        # opt-in W8A8 sampling mode: parameter-compatible quantized conv
+        return Int8Conv(features=features, kernel_size=ks, strides=strides,
+                        padding=padding, name=name, **init)
     return nn.Conv(features, kernel_size=ks, strides=strides,
-                   padding=[(kernel // 2, kernel // 2)] * spatial_rank,
-                   dtype=dtype, name=name, **init)
+                   padding=padding, dtype=dtype, name=name, **init)
 
 
 class Upsample(nn.Module):
@@ -176,7 +182,7 @@ class ResBlock(nn.Module):
         h = _conv(out_ch, self.spatial_rank, dtype=self.dtype)(h)
 
         emb_out = nn.Dense(2 * out_ch if self.use_scale_shift_norm else out_ch,
-                           dtype=self.dtype)(nn.silu(emb))
+                           dtype=act_dtype(self.dtype))(nn.silu(emb))
         emb_out = emb_out.reshape(emb_out.shape[0],
                                   *(1,) * self.spatial_rank, emb_out.shape[-1])
         if self.use_scale_shift_norm:

@@ -79,3 +79,11 @@ def is_int8(dtype) -> bool:
 def act_dtype(dtype):
     """Activation dtype for non-conv ops under the sentinel (bf16)."""
     return jnp.bfloat16 if is_int8(dtype) else dtype
+
+
+# Auto-naming compatibility: flax derives unnamed submodule scopes from the
+# class name ("Conv_0", "Conv_1", ...).  Int8Conv substitutes for nn.Conv
+# inside modules whose other path creates plain nn.Conv, so it must produce
+# IDENTICAL parameter scopes — otherwise the shared f32 param tree doesn't
+# resolve.  (Param names/shapes/init already match; this fixes the scope.)
+Int8Conv.__name__ = "Conv"

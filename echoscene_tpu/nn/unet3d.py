@@ -26,6 +26,7 @@ import flax.linen as nn
 
 from .blocks import timestep_embedding
 from .gcn import GraphTripleConvNet
+from .quant import act_dtype
 from .unet_core import UNetTorso
 
 
@@ -80,12 +81,13 @@ class ShapeDenoiser(nn.Module):
             dtype=self.dtype,
         )
         time_embed_dim = self.model_channels * 4
-        self.time_mlp1 = nn.Dense(time_embed_dim, dtype=self.dtype)
-        self.time_mlp2 = nn.Dense(time_embed_dim, dtype=self.dtype)
+        adt = act_dtype(self.dtype)
+        self.time_mlp1 = nn.Dense(time_embed_dim, dtype=adt)
+        self.time_mlp2 = nn.Dense(time_embed_dim, dtype=adt)
         if self.message_passing:
             self.pred_embeddings = nn.Embed(self.num_preds, self.gconv_dim * 2)
-            self.shape_conv1 = nn.Conv(32, (3, 3, 3), padding=1, dtype=self.dtype)
-            self.shape_conv2 = nn.Conv(64, (3, 3, 3), padding=1, dtype=self.dtype)
+            self.shape_conv1 = nn.Conv(32, (3, 3, 3), padding=1, dtype=adt)
+            self.shape_conv2 = nn.Conv(64, (3, 3, 3), padding=1, dtype=adt)
             self.shape_dense = nn.Dense(self.gconv_dim)
             if self.enable_t_emb:
                 self.shape_time_emb = nn.Dense(self.gconv_dim)
@@ -98,7 +100,7 @@ class ShapeDenoiser(nn.Module):
                 mlp_normalization="batch",
                 residual=True,
                 output_dim=self.x_dim,
-                dtype=self.dtype,
+                dtype=act_dtype(self.dtype),
             )
 
     def _embed_shape_code(self, x):

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .blocks import GroupNorm32, ResBlock, Upsample, Downsample, _conv
+from .quant import act_dtype
 from .attention import SpatialTransformer
 
 
@@ -56,7 +57,8 @@ class UNetTorso(nn.Module):
                 in_channels=ch, n_heads=self.num_heads,
                 d_head=ch // self.num_heads, depth=self.transformer_depth,
                 context_dim=self.context_dim, dropout=self.dropout,
-                use_checkpoint=self.use_checkpoint, dtype=self.dtype, name=name)
+                use_checkpoint=self.use_checkpoint,
+                dtype=act_dtype(self.dtype), name=name)
 
         hs = []
         h = _conv(mc, self.spatial_rank, dtype=self.dtype, name="conv_in")(x)

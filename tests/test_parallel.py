@@ -31,7 +31,7 @@ def tiny_setup(tmp_path_factory):
                            sdf_loader=ds.load_sdf)
     sg = SGDiff(cfg, num_objs=len(ds.classes), num_preds=len(ds.pred_names))
     state = sg.init(jax.random.PRNGKey(0), batch)
-    return sg, state, batch
+    return sg, state, batch, ds, spec
 
 
 def test_eight_cpu_devices_present():
@@ -40,7 +40,7 @@ def test_eight_cpu_devices_present():
 
 def test_dp_train_step_matches_single_device(tiny_setup):
     """Identical per-shard batches + pmean == the single-device step."""
-    sg, state, batch = tiny_setup
+    sg, state, batch, _, _ = tiny_setup
     n_dev = 4
     mesh = make_mesh((n_dev,), ("data",), jax.devices()[:n_dev])
     host_batch = jax.device_get(batch)
@@ -66,7 +66,7 @@ def test_dp_train_step_matches_single_device(tiny_setup):
 def test_dp_sample_matches_single_device(tiny_setup):
     """Sampling is embarrassingly parallel: identical shards + identical keys
     must reproduce the single-device sample bit-for-bit on every shard."""
-    sg, state, batch = tiny_setup
+    sg, state, batch, _, _ = tiny_setup
     n_dev = 2
     mesh = make_mesh((n_dev,), ("data",), jax.devices()[:n_dev])
     host_batch = jax.device_get(batch)
@@ -87,8 +87,28 @@ def test_dp_sample_matches_single_device(tiny_setup):
             np.testing.assert_allclose(got[d], want, atol=1e-5, err_msg=key)
 
 
+def test_evaluator_dp_scores_all_scenes(tiny_setup, tmp_path):
+    """SceneEvaluator with dp_devices=2 scores the same scene count as the
+    single-device path (odd scene count exercises the padded final flush)."""
+    from echoscene_tpu.eval.evaluator import SceneEvaluator
+
+    sg, state, _, ds, spec = tiny_setup
+
+    def run(dp, sub):
+        ev = SceneEvaluator(sg, state, spec, ds.box_stats, gen_shape=False,
+                            store_path=str(tmp_path / sub), eval_batch=1,
+                            dp_devices=dp)
+        acc, _, _ = ev.run(ds, "none", 3, jax.random.PRNGKey(5))
+        return acc
+
+    acc_dp = run(2, "dp")
+    acc_1 = run(1, "single")
+    assert len(acc_dp["total"]) == len(acc_1["total"]) > 0
+    assert (tmp_path / "dp" / "none_accuracy_analysis.txt").exists()
+
+
 def test_model_parallel_sharding_placement(tiny_setup):
-    sg, state, _ = tiny_setup
+    sg, state, _, _, _ = tiny_setup
     mesh = make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
     sharded = shard_params_for_model_parallel(state.params, mesh)
     # find one attention kernel in the shape denoiser and check its sharding

@@ -48,6 +48,36 @@ def test_quantize_symmetric_range():
                                np.asarray(x), atol=s * 0.51)
 
 
+def test_shape_denoiser_int8_mode_tracks_f32():
+    """ShapeDenoiser under the 'int8' sentinel: same param tree as the f32
+    module, output within quantization tolerance."""
+    from echoscene_tpu.nn.unet3d import ShapeDenoiser
+
+    kw = dict(image_size=8, in_channels=3, model_channels=16,
+              out_channels=3, num_res_blocks=1, attention_resolutions=(2,),
+              channel_mult=(1, 2), num_heads=2, context_dim=32,
+              conditioning_key="crossattn", message_passing=True,
+              enable_t_emb=True, use_checkpoint=False, num_preds=4)
+    m32 = ShapeDenoiser(**kw)
+    m8 = ShapeDenoiser(**kw, dtype="int8")
+
+    m = 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, 8, 8, 8, 3))
+    obj = jax.random.normal(jax.random.PRNGKey(1), (m, 1, 24))
+    triples = jnp.asarray([[0, 1, 1], [1, 0, 2], [2, 2, 0]])
+    t = jnp.asarray([3, 1, 2])
+    masks = dict(obj_mask=jnp.ones((m,)), triple_mask=jnp.ones((3,)))
+
+    v = m32.init(jax.random.PRNGKey(2), x, obj, triples, t, **masks)
+    y32 = np.asarray(m32.apply(v, x, obj, triples, t, **masks), np.float32)
+    y8 = np.asarray(m8.apply(v, x, obj, triples, t, **masks), np.float32)
+    assert y8.shape == y32.shape
+    scale = np.abs(y32).mean() + 1e-6
+    rel = np.abs(y8 - y32) / scale
+    # int8 convs + bf16 elsewhere through a full UNet: coarse but bounded
+    assert rel.mean() < 0.12, rel.mean()
+
+
 def test_strided_int8_conv_shapes():
     rank = 3
     q = Int8Conv(features=8, kernel_size=(3,) * rank, strides=(1, 2, 2),
