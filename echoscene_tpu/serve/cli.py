@@ -1,0 +1,107 @@
+"""Serving CLI: batch mode (JSON file in/out) or a local HTTP endpoint.
+
+Usage:
+  # batch: read a JSON list of requests, write a JSON list of results
+  python -m echoscene_tpu.serve.cli --exp EXP --epoch N \
+      --requests in.json --out out.json
+
+  # online: POST a JSON list of requests to http://HOST:PORT/generate
+  python -m echoscene_tpu.serve.cli --exp EXP --epoch N --port 8765
+
+Request format:
+  {"objects": ["bed", "wardrobe"], "triples": [[0, "left", 1]], "id": "x"}
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+
+from .service import service_from_experiment
+
+
+def run_http(service, host: str, port: int):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    lock = threading.Lock()   # one generation call at a time (single chip)
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path.rstrip("/") not in ("", "/generate", "/v1/generate"):
+                self.send_error(404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length) or b"[]")
+                if isinstance(payload, dict):
+                    payload = [payload]
+                with lock:
+                    results = service.generate(payload)
+                body = json.dumps({"results": results}).encode()
+                self.send_response(200)
+            except Exception as e:  # surface the error to the client
+                body = json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
+                self.send_response(400)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):
+            print(f"[serve] {self.address_string()} {fmt % args}")
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    print(f"[serve] listening on http://{host}:{port}/generate")
+    server.serve_forever()
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp", required=True)
+    p.add_argument("--dataset", default=None)
+    p.add_argument("--epoch", type=int, default=-1)
+    p.add_argument("--gen_shape", action="store_true")
+    p.add_argument("--meshes", action="store_true",
+                   help="return marching-tetrahedra meshes instead of SDFs")
+    p.add_argument("--max_nodes", type=int, default=48)
+    p.add_argument("--max_triples", type=int, default=160)
+    p.add_argument("--max_scenes", type=int, default=8)
+    p.add_argument("--sample_dtype", default=None,
+                   choices=["float32", "bfloat16", "int8"])
+    p.add_argument("--layout_sampler", default=None,
+                   choices=["ddpm", "ddim", "dpmpp"])
+    p.add_argument("--layout_steps", type=int, default=0)
+    p.add_argument("--shape_sampler", default=None, choices=["ddim", "dpmpp"])
+    p.add_argument("--shape_steps", type=int, default=0)
+    p.add_argument("--requests", default=None, help="JSON file (batch mode)")
+    p.add_argument("--out", default=None, help="output JSON (batch mode)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=0, help="HTTP mode when > 0")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    service = service_from_experiment(
+        args.exp, dataset=args.dataset, epoch=args.epoch,
+        gen_shape=args.gen_shape, return_meshes=args.meshes,
+        max_nodes=args.max_nodes, max_triples=args.max_triples,
+        max_scenes=args.max_scenes, sample_dtype=args.sample_dtype,
+        layout_sampler=args.layout_sampler, layout_steps=args.layout_steps,
+        shape_sampler=args.shape_sampler, shape_steps=args.shape_steps)
+    if args.port:
+        run_http(service, args.host, args.port)
+        return None
+    assert args.requests, "--requests or --port required"
+    with open(args.requests) as f:
+        reqs = json.load(f)
+    results = service.generate(reqs)
+    out = args.out or "serve_results.json"
+    with open(out, "w") as f:
+        json.dump({"results": results}, f)
+    print(f"[serve] wrote {len(results)} results to {out}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Generation service: request parsing, micro-batching, HTTP round trip."""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import pytest
+
+from echoscene_tpu.serve.service import GenerationService, request_to_example
+from echoscene_tpu.data.clip_text import ClipTextEncoder
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    from echoscene_tpu.data.fake import make_fake_dataset
+    from echoscene_tpu.data.sgfront import SGFrontDataset
+    from echoscene_tpu.data.collate import collate_scenes, CollateSpec
+    from echoscene_tpu.models.sgdiff import SGDiff
+    from tests.test_end_to_end import tiny_config
+
+    root = tmp_path_factory.mktemp("serve")
+    make_fake_dataset(str(root), num_scenes=3, min_objs=3, max_objs=4,
+                      sdf_res=16, with_sdf=True)
+    ds = SGFrontDataset(str(root), use_sdf=True, with_changes=False, seed=1,
+                        sdf_res=16)
+    cfg = tiny_config()
+    spec = CollateSpec(max_nodes=cfg.max_nodes, max_triples=cfg.max_triples,
+                       max_scenes=4, diffusion_bs=cfg.diffusion_bs,
+                       with_sdf=False)
+    batch = collate_scenes([ds[0]], spec)
+    sg = SGDiff(cfg, num_objs=len(ds.classes), num_preds=len(ds.pred_names))
+    state = sg.init(jax.random.PRNGKey(0), batch)
+    return GenerationService(sg, state, spec, ds.box_stats, ds.classes,
+                             ds.rel_dict, gen_shape=True), ds
+
+
+def _request(ds, idx=0):
+    names = [n for n in ds.classes if n != "_scene_"][:3]
+    preds = list(ds.rel_dict)
+    return {"objects": names,
+            "triples": [[0, preds[0], 1], [1, preds[-1], 2]],
+            "id": f"q{idx}"}
+
+
+def test_request_to_example_structure(service):
+    svc, ds = service
+    ex = request_to_example(_request(ds), ds.classes, ds.rel_dict,
+                            ClipTextEncoder("hash"))
+    assert ex.num_nodes == 4                 # 3 objects + scene root
+    assert ex.triples.shape == (2 + 3, 3)    # 2 user + 3 'in' edges
+    assert ex.text_feats.shape == (4, 512)
+
+
+def test_request_errors(service):
+    svc, ds = service
+    clip = ClipTextEncoder("hash")
+    with pytest.raises(KeyError):
+        request_to_example({"objects": ["no_such_class"]},
+                           ds.classes, ds.rel_dict, clip)
+    with pytest.raises(KeyError):
+        request_to_example({"objects": list(ds.classes)[:2],
+                            "triples": [[0, "no_such_rel", 1]]},
+                           ds.classes, ds.rel_dict, clip)
+
+
+def test_generate_batches_and_descale(service):
+    svc, ds = service
+    results = svc.generate([_request(ds, 0), _request(ds, 1)])
+    assert len(results) == 2
+    for r in results:
+        assert len(r["sizes"]) == 3          # scene root stripped
+        assert len(r["angles"]) == 3
+        assert np.isfinite(np.asarray(r["sizes"])).all()
+        assert "sdfs" in r and r["sdf_shape"][0] == 3
+
+
+def test_http_round_trip(service):
+    from echoscene_tpu.serve.cli import run_http
+
+    svc, ds = service
+    port = 18931
+    t = threading.Thread(target=run_http, args=(svc, "127.0.0.1", port),
+                         daemon=True)
+    t.start()
+    import time
+    payload = json.dumps([_request(ds, 7)]).encode()
+    for attempt in range(30):
+        try:
+            resp = urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=payload,
+                headers={"Content-Type": "application/json"}), timeout=120)
+            break
+        except (ConnectionError, urllib.error.URLError):
+            time.sleep(1)
+    body = json.loads(resp.read())
+    assert len(body["results"]) == 1
+    assert body["results"][0]["id"] == "q7"
+
+    # malformed request -> 400 with an error message
+    bad = json.dumps([{"objects": ["nope"]}]).encode()
+    try:
+        urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=bad), timeout=60)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = True
+        assert e.code == 400
+        assert "error" in json.loads(e.read())
+    assert raised
