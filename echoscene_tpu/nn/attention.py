@@ -18,14 +18,16 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..kernels.attention import dot_product_attention
+from .quant import act_dtype, dense
 
 
 class GEGLU(nn.Module):
     dim_out: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.dim_out * 2)(x)
+        x = dense(self.dim_out * 2, dtype=self.dtype)(x)
         x, gate = jnp.split(x, 2, axis=-1)
         return x * nn.gelu(gate)
 
@@ -35,17 +37,18 @@ class FeedForward(nn.Module):
     mult: int = 4
     glu: bool = True
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         inner = int(self.dim * self.mult)
         if self.glu:
-            x = GEGLU(inner)(x)
+            x = GEGLU(inner, dtype=self.dtype)(x)
         else:
-            x = nn.gelu(nn.Dense(inner)(x))
+            x = nn.gelu(dense(inner, dtype=self.dtype)(x))
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        return nn.Dense(self.dim)(x)
+        return dense(self.dim, dtype=self.dtype)(x)
 
 
 class CrossAttention(nn.Module):
@@ -63,9 +66,9 @@ class CrossAttention(nn.Module):
         h, d = self.heads, self.dim_head
         inner = h * d
         context = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
 
         b, n, _ = q.shape
         m = k.shape[1]
@@ -74,7 +77,7 @@ class CrossAttention(nn.Module):
         v = v.reshape(b, m, h, d)
         out = dot_product_attention(q, k, v, mask=mask)
         out = out.reshape(b, n, inner)
-        out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+        out = dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
         if self.dropout > 0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
@@ -102,6 +105,7 @@ class BasicTransformerBlock(nn.Module):
                                nn.LayerNorm(name="norm2")(x), context,
                                deterministic=deterministic) + x
         x = FeedForward(self.dim, glu=self.gated_ff, dropout=self.dropout,
+                        dtype=self.dtype,
                         name="ff")(nn.LayerNorm(name="norm3")(x),
                                    deterministic=deterministic) + x
         return x
@@ -138,7 +142,7 @@ class SpatialTransformer(nn.Module):
         gn_bias = self.param("norm_bias", nn.initializers.zeros, (c,),
                              jnp.float32)
         h = group_norm_fast(x, groups, 1e-6, gn_scale, gn_bias)
-        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)  # 1x1 conv == Dense
+        h = dense(inner, dtype=self.dtype, name="proj_in")(h)  # 1x1 conv == Dense
         h = h.reshape(b, -1, inner)
         block_cls = BasicTransformerBlock
         if self.use_checkpoint:
@@ -155,7 +159,7 @@ class SpatialTransformer(nn.Module):
             else:
                 h = blk(h, context, deterministic=deterministic)
         h = h.reshape(b, *spatial, inner)
-        h = nn.Dense(c, kernel_init=nn.initializers.zeros,
-                     bias_init=nn.initializers.zeros, dtype=self.dtype,
-                     name="proj_out")(h)
+        h = dense(c, kernel_init=nn.initializers.zeros,
+                  bias_init=nn.initializers.zeros, dtype=self.dtype,
+                  name="proj_out")(h)
         return h + x_in

@@ -81,9 +81,55 @@ def act_dtype(dtype):
     return jnp.bfloat16 if is_int8(dtype) else dtype
 
 
+class Int8Dense(nn.Module):
+    """Drop-in nn.Dense computing in int8 with int32 accumulation.
+
+    Same quantization scheme as Int8Conv: per-out-column weight scales,
+    dynamic per-tensor activation scale.  Parameter names/shapes/init match
+    nn.Dense so the f32 tree is shared unchanged.
+    """
+    features: int
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros
+    out_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        wq, w_scale = quantize_symmetric(kernel, axes=(0,))
+        xq, x_scale = quantize_symmetric(x, axes=None)
+        y = jax.lax.dot_general(
+            xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        deq = x_scale.reshape(()) * w_scale.reshape(
+            (1,) * (y.ndim - 1) + (self.features,))
+        y = y.astype(jnp.float32) * deq
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.out_dtype)
+
+
 # Auto-naming compatibility: flax derives unnamed submodule scopes from the
-# class name ("Conv_0", "Conv_1", ...).  Int8Conv substitutes for nn.Conv
-# inside modules whose other path creates plain nn.Conv, so it must produce
-# IDENTICAL parameter scopes — otherwise the shared f32 param tree doesn't
-# resolve.  (Param names/shapes/init already match; this fixes the scope.)
+# class name ("Conv_0", "Conv_1", ...).  Int8Conv/Int8Dense substitute for
+# nn.Conv/nn.Dense inside modules whose other path creates the plain flax
+# layer, so they must produce IDENTICAL parameter scopes — otherwise the
+# shared f32 param tree doesn't resolve.  (Param names/shapes/init already
+# match; this fixes the scope.)
 Int8Conv.__name__ = "Conv"
+Int8Dense.__name__ = "Dense"
+
+
+def dense(features: int, *, use_bias: bool = True, dtype=None, name=None,
+          kernel_init=None, bias_init=None) -> nn.Module:
+    """nn.Dense, or Int8Dense under the 'int8' sentinel."""
+    kw = {}
+    if kernel_init is not None:
+        kw["kernel_init"] = kernel_init
+    if bias_init is not None:
+        kw["bias_init"] = bias_init
+    if is_int8(dtype):
+        return Int8Dense(features=features, use_bias=use_bias, name=name, **kw)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name, **kw)

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .blocks import GroupNorm32, ResBlock, Upsample, Downsample, _conv
-from .quant import act_dtype
 from .attention import SpatialTransformer
 
 
@@ -53,12 +52,14 @@ class UNetTorso(nn.Module):
                        dtype=self.dtype, name=name)
 
         def attn(ch, name):
+            # raw dtype: the attention stack handles the int8 sentinel itself
+            # (projections/FF quantize; LayerNorm/softmax stay f32)
             return SpatialTransformer(
                 in_channels=ch, n_heads=self.num_heads,
                 d_head=ch // self.num_heads, depth=self.transformer_depth,
                 context_dim=self.context_dim, dropout=self.dropout,
                 use_checkpoint=self.use_checkpoint,
-                dtype=act_dtype(self.dtype), name=name)
+                dtype=self.dtype, name=name)
 
         hs = []
         h = _conv(mc, self.spatial_rank, dtype=self.dtype, name="conv_in")(x)

@@ -38,6 +38,38 @@ def test_int8_conv_tracks_f32_conv():
     assert rel.max() < 0.3, rel.max()
 
 
+def test_int8_dense_param_compat_and_accuracy():
+    from echoscene_tpu.nn.quant import Int8Dense
+
+    ref = nn.Dense(24)
+    q = Int8Dense(features=24)
+    x = jax.random.normal(jax.random.PRNGKey(0), (5, 16))
+    vr = ref.init(jax.random.PRNGKey(1), x)
+    vq = q.init(jax.random.PRNGKey(1), x)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), vr["params"], vq["params"])
+    y_ref = np.asarray(ref.apply(vr, x), np.float32)
+    y_q = np.asarray(q.apply(vr, x), np.float32)
+    rel = np.abs(y_q - y_ref) / (np.abs(y_ref).mean() + 1e-6)
+    assert rel.mean() < 0.02, rel.mean()
+
+
+def test_attention_int8_sentinel_tracks_f32():
+    """SpatialTransformer under 'int8': same params, close output."""
+    from echoscene_tpu.nn.attention import SpatialTransformer
+
+    kw = dict(in_channels=32, n_heads=4, d_head=8, depth=1, context_dim=16)
+    m32 = SpatialTransformer(**kw)
+    m8 = SpatialTransformer(**kw, dtype="int8")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 32))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 16))
+    v = m32.init(jax.random.PRNGKey(2), x, ctx)
+    y32 = np.asarray(m32.apply(v, x, ctx), np.float32)
+    y8 = np.asarray(m8.apply(v, x, ctx), np.float32)
+    rel = np.abs(y8 - y32) / (np.abs(y32).mean() + 1e-6)
+    assert rel.mean() < 0.05, rel.mean()
+
+
 def test_quantize_symmetric_range():
     x = jax.random.normal(jax.random.PRNGKey(2), (4, 5)) * 3.0
     q, scale = quantize_symmetric(x, axes=None)
