@@ -54,10 +54,40 @@ def random_conv_extractor(feature_dim: int = 768, seed: int = 0):
     return lambda imgs: np.asarray(feats(np.asarray(imgs)))
 
 
+def torchscript_extractor(path: str, input_size: int = 299) -> Callable:
+    """Feature extractor backed by a TorchScript module on CPU.
+
+    This is how the standard FID Inception network plugs in: clean-fid /
+    pytorch-fid distribute the ported TF InceptionV3 as a scripted module
+    (`pt_inception-2015-12-05.pt`).  Input convention: (N, H, W, 3) uint8 ->
+    resized to `input_size`, scaled to [-1, 1], NCHW.  Works with any
+    scripted feature network of that signature (the unit test uses a tiny
+    home-made one).
+    """
+    import torch
+
+    model = torch.jit.load(path, map_location="cpu").eval()
+
+    def run(imgs) -> np.ndarray:
+        x = torch.from_numpy(np.asarray(imgs)).float().permute(0, 3, 1, 2)
+        x = x / 255.0
+        if x.shape[-1] != input_size:
+            x = torch.nn.functional.interpolate(
+                x, size=(input_size, input_size), mode="bilinear",
+                align_corners=False)
+        x = x * 2.0 - 1.0
+        with torch.no_grad():
+            out = model(x)
+        if isinstance(out, (list, tuple)):
+            out = out[0]
+        return out.reshape(out.shape[0], -1).numpy()
+
+    return run
+
+
 def get_extractor(spec: str = "random") -> Callable:
-    if spec.startswith("inception:"):
-        raise NotImplementedError(
-            "pretrained inception weights not bundled; supply a converter")
+    if spec.startswith(("inception:", "torchscript:")):
+        return torchscript_extractor(spec.split(":", 1)[1])
     return random_conv_extractor()
 
 

@@ -113,6 +113,33 @@ def test_fit_verts_to_box_extents():
     assert abs(out[:, 1].min() - 0.0) < 1e-4
 
 
+def test_torchscript_extractor_plumbing(tmp_path, rng):
+    """'inception:<path>' / 'torchscript:<path>' load a scripted CPU module
+    (the standard FID Inception distribution form) and produce (N, D) feats;
+    tested with a tiny home-made scripted net since no pretrained weights
+    ship in this image."""
+    import torch
+    from echoscene_tpu.eval.fid import get_extractor
+
+    class TinyNet(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(3, 8, 5, stride=4)
+
+        def forward(self, x):
+            return self.conv(x).mean(dim=(2, 3))
+
+    path = str(tmp_path / "feat.pt")
+    torch.jit.script(TinyNet()).save(path)
+    ext = get_extractor(f"inception:{path}")
+    imgs = (rng.random((6, 64, 64, 3)) * 255).astype(np.uint8)
+    feats = ext(imgs)
+    assert feats.shape == (6, 8)
+    assert np.isfinite(feats).all()
+    # deterministic across calls
+    np.testing.assert_array_equal(feats, ext(imgs))
+
+
 def test_fid_kid_sanity(rng):
     ext = random_conv_extractor(feature_dim=32)
     imgs1 = (rng.random((12, 64, 64, 3)) * 255).astype(np.uint8)
