@@ -57,17 +57,24 @@ class GraphBatch:
 
 @struct.dataclass
 class ShapeSelection:
-    """Greedy whole-scene packing for the shape branch.
+    """Shape-branch object sub-batch (EchoScene.select_sdfs :246-319).
 
-    `sdf` holds the first `capacity` flat node slots' SDF grids (scene-major
-    prefix); `num_valid` is the host-computed largest prefix of whole scenes
-    with total object count <= capacity (EchoScene.select_sdfs greedy branch,
-    EchoScene.py:290-308).  Everything downstream masks with
-    `arange(capacity) < num_valid`.
+    greedy (flagship; required when message passing is on, EchoScene.py:
+    103-104): `sdf` holds the first `capacity` flat node slots' SDF grids
+    (scene-major prefix); `num_valid` is the host-computed largest prefix of
+    whole scenes with total object count <= capacity (:290-308); `indices`
+    is None (identity prefix) and triples stay valid.
+
+    random / balance (:255-289): `indices` maps each sub-batch slot to its
+    flat node slot (host-selected, floor/_scene_ excluded); no triples reach
+    the shape denoiser (`mp_valid=False`, mirroring the empty
+    triples_selected of the reference's non-greedy branch).
     """
     sdf: Optional[jnp.ndarray]       # f32[M, R, R, R, 1] clamped SDF grids (channel-last)
-    num_valid: jnp.ndarray           # i32[] scalar prefix length (<= M)
+    num_valid: jnp.ndarray           # i32[] scalar count of real sub-batch slots
     latent: Optional[jnp.ndarray] = None  # f32[M, r, r, r, z] precomputed VQ latents
+    indices: Optional[jnp.ndarray] = None  # i32[M] node slot per sub-batch slot
+    mp_valid: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def capacity(self) -> int:
@@ -76,6 +83,12 @@ class ShapeSelection:
 
     def mask(self) -> jnp.ndarray:
         return (jnp.arange(self.capacity) < self.num_valid).astype(jnp.float32)
+
+    def gather_rows(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Select this sub-batch's rows from a per-node array."""
+        if self.indices is None:
+            return x[:self.capacity]
+        return x[self.indices]
 
 
 @struct.dataclass

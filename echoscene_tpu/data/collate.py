@@ -30,11 +30,47 @@ class CollateSpec:
     clip_dim: int = 512
     latent_res: int = 16
     latent_ch: int = 3
+    shape_sampling: str = "greedy"   # greedy | random | balance (select_sdfs)
+
+
+def _select_shape_rows(kept: Sequence[SceneExample], m: int, mode: str,
+                       rng: np.random.Generator) -> List[int]:
+    """Non-greedy object selection (select_sdfs :255-289): per scene pick
+    ceil(m / num_scenes) non-floor objects — 'random' uniformly, 'balance'
+    covering fine-grained categories first (balance_objects :198-220)."""
+    num_obj = int(np.ceil(m / max(len(kept), 1)))
+    rows: List[int] = []
+    off = 0
+    for e in kept:
+        paths = e.sdf_paths or [None] * e.num_nodes
+        cand = [off + i for i in range(e.num_nodes) if paths[i] is not None]
+        if cand:
+            if mode == "random":
+                perm = rng.permutation(len(cand))[:num_obj]
+                rows.extend(cand[int(j)] for j in perm)
+            elif mode == "balance":
+                grained = np.asarray(e.objs_grained)[
+                    [c - off for c in cand]]
+                uniq = np.unique(grained)
+                if len(uniq) >= num_obj:
+                    sampled = rng.permutation(uniq)[:num_obj]
+                else:
+                    extra = rng.choice(grained, size=num_obj - len(uniq))
+                    sampled = np.concatenate([uniq, extra])
+                for g in sampled:
+                    opts = [c for c, gg in zip(cand, grained) if gg == g]
+                    rows.append(opts[int(rng.integers(len(opts)))])
+            else:
+                raise NotImplementedError(mode)
+        off += e.num_nodes
+    return rows[:m]
 
 
 def collate_scenes(examples: Sequence[SceneExample], spec: CollateSpec,
                    sdf_loader=None,
-                   latent_lookup=None) -> Optional[SceneBatch]:
+                   latent_lookup=None,
+                   rng: Optional[np.random.Generator] = None
+                   ) -> Optional[SceneBatch]:
     """Build a SceneBatch (numpy arrays; caller moves to device).
 
     sdf_loader: callable(path_or_None) -> (R,R,R,1) grid, used for the first
@@ -114,31 +150,44 @@ def collate_scenes(examples: Sequence[SceneExample], spec: CollateSpec,
 
     shapes = None
     if spec.with_sdf:
-        # greedy whole-scene prefix (EchoScene.py:290-308)
         m = spec.diffusion_bs
-        num_valid = 0
+        all_paths: List[Optional[str]] = []
         for e in kept:
-            if num_valid + e.num_nodes > m:
-                break
-            num_valid += e.num_nodes
-        paths: List[Optional[str]] = []
-        for e in kept:
-            paths.extend(e.sdf_paths or [None] * e.num_nodes)
-        paths = (paths + [None] * m)[:m]
+            all_paths.extend(e.sdf_paths or [None] * e.num_nodes)
+        if spec.shape_sampling == "greedy":
+            # greedy whole-scene prefix (EchoScene.py:290-308)
+            num_valid = 0
+            for e in kept:
+                if num_valid + e.num_nodes > m:
+                    break
+                num_valid += e.num_nodes
+            indices = None
+            mp_valid = True
+            row_paths = (all_paths + [None] * m)[:m]
+        else:
+            rows = _select_shape_rows(kept, m, spec.shape_sampling,
+                                      rng or np.random.default_rng(0))
+            num_valid = len(rows)
+            indices = np.asarray((rows + [0] * m)[:m], np.int32)
+            mp_valid = False   # no triples in the non-greedy branch (:300)
+            row_paths = [all_paths[r] for r in rows]
+            row_paths = (row_paths + [None] * m)[:m]
         if latent_lookup is not None:
             r, z = spec.latent_res, spec.latent_ch
             lat = np.zeros((m, r, r, r, z), np.float32)
             for i in range(num_valid):
-                lat[i] = latent_lookup(paths[i])
+                lat[i] = latent_lookup(row_paths[i])
             shapes = ShapeSelection(sdf=None, latent=lat,
-                                    num_valid=np.int32(num_valid))
+                                    num_valid=np.int32(num_valid),
+                                    indices=indices, mp_valid=mp_valid)
         else:
             r = spec.sdf_res
             sdf = np.zeros((m, r, r, r, 1), np.float32)
             if sdf_loader is not None:
                 for i in range(num_valid):
-                    sdf[i] = sdf_loader(paths[i])
-            shapes = ShapeSelection(sdf=sdf, num_valid=np.int32(num_valid))
+                    sdf[i] = sdf_loader(row_paths[i])
+            shapes = ShapeSelection(sdf=sdf, num_valid=np.int32(num_valid),
+                                    indices=indices, mp_valid=mp_valid)
 
     return SceneBatch(
         enc=enc, dec=dec, objs_grained=grained, obj_to_scene=obj_to_scene,

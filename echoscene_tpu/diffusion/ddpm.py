@@ -39,6 +39,29 @@ def masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def normal_kl(mean1, logvar1, mean2, logvar2):
+    """KL between diagonal Gaussians (diffusion_ddpm.py:89-94)."""
+    return 0.5 * (-1.0 + logvar2 - logvar1 + jnp.exp(logvar1 - logvar2)
+                  + (mean1 - mean2) ** 2 * jnp.exp(-logvar2))
+
+
+def discretized_gaussian_log_likelihood(x, *, means, log_scales):
+    """Log-likelihood of a 1/255-discretized Gaussian
+    (diffusion_ddpm.py:96-116; defined for [0,1]-scaled integer data)."""
+    import jax.scipy.stats as jstats
+    centered = x - means
+    inv_stdv = jnp.exp(-log_scales)
+    cdf_plus = jstats.norm.cdf(inv_stdv * (centered + 0.5))
+    cdf_min = jstats.norm.cdf(inv_stdv * (centered - 0.5))
+    log_cdf_plus = jnp.log(jnp.maximum(cdf_plus, 1e-12))
+    log_one_minus_cdf_min = jnp.log(jnp.maximum(1.0 - cdf_min, 1e-12))
+    cdf_delta = cdf_plus - cdf_min
+    return jnp.where(
+        x < 0.001, log_cdf_plus,
+        jnp.where(x > 0.999, log_one_minus_cdf_min,
+                  jnp.log(jnp.maximum(cdf_delta, 1e-12))))
+
+
 class LayoutDiffusion:
     """Stateless layout DDPM over (N, 8) box vectors."""
 
@@ -163,6 +186,73 @@ class LayoutDiffusion:
         liou = jnp.sum(w * 0.5 * (iou + 1e-6) * pair_mask) / num
         mean_iou = jnp.sum(iou * pair_mask) / num
         return liou, mean_iou
+
+    # --- variational bound / bits-per-dim --------------------------------
+    def q_mean_variance(self, x0, t):
+        """q(x_t | x_0) moments (diffusion_ddpm.py:182-189)."""
+        mean = _extract(self.t.sqrt_alphas_cumprod, t, x0.ndim) * x0
+        variance = _extract(1.0 - self.t.alphas_cumprod, t, x0.ndim)
+        log_variance = _extract(self.t.log_one_minus_alphas_cumprod, t, x0.ndim)
+        return mean, variance, log_variance
+
+    def vb_terms(self, denoise_fn, x0, x_t, t, clip_denoised: bool = True):
+        """Per-example KL[q(x_{t-1}|x_t,x_0) || p(x_{t-1}|x_t)] in bits
+        (_vb_terms_bpd, diffusion_ddpm.py:375-383).  Returns (kl_b, pred_x0)."""
+        true_mean = self.q_posterior_mean(x0, x_t, t)
+        true_logvar = _extract(self.t.posterior_log_variance_clipped, t, x_t.ndim)
+        out = denoise_fn(x_t, t)
+        if self.model_mean_type == "eps":
+            x_recon = self.predict_xstart_from_eps(x_t, t, out)
+        else:
+            x_recon = out
+        if clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)  # p_mean_variance :241-242
+        model_mean = self.q_posterior_mean(x_recon, x_t, t)
+        model_logvar = self.model_log_variance(t, x_t.ndim)
+        kl = normal_kl(true_mean, true_logvar, model_mean, model_logvar)
+        kl = jnp.mean(kl, axis=tuple(range(1, kl.ndim))) / jnp.log(2.0)
+        return kl, x_recon
+
+    def prior_bpd(self, x0):
+        """KL[q(x_T|x_0) || N(0, I)] in bits (_prior_bpd :510-519)."""
+        b = x0.shape[0]
+        t = jnp.full((b,), self.num_timesteps - 1, jnp.int32)
+        qt_mean, _, qt_logvar = self.q_mean_variance(x0, t)
+        kl = normal_kl(qt_mean, qt_logvar, jnp.zeros_like(qt_mean),
+                       jnp.zeros_like(qt_logvar))
+        return jnp.mean(kl, axis=tuple(range(1, kl.ndim))) / jnp.log(2.0)
+
+    def calc_bpd(self, denoise_fn, x0, rng: jax.Array,
+                 clip_denoised: bool = True):
+        """Full variational bound, every timestep (calc_bpd_loop :521-548) —
+        one lax.scan over T instead of the reference's Python loop with
+        masked writes.  Returns dict with scalars total_bpd / prior_bpd /
+        vb_mean / mse_mean and the (T, B) per-term arrays."""
+        b = x0.shape[0]
+
+        def body(key, t_scalar):
+            key, nk = jax.random.split(key)
+            t_b = jnp.full((b,), t_scalar, jnp.int32)
+            noise = jax.random.normal(nk, x0.shape, x0.dtype)
+            x_t = self.q_sample(x0, t_b, noise)
+            kl_b, pred_x0 = self.vb_terms(denoise_fn, x0, x_t, t_b,
+                                          clip_denoised)
+            mse_b = jnp.mean((pred_x0 - x0) ** 2,
+                             axis=tuple(range(1, x0.ndim)))
+            return key, (kl_b, mse_b)
+
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        _, (vals_tb, mse_tb) = jax.lax.scan(body, rng, ts)
+        prior_b = self.prior_bpd(x0)
+        total_b = jnp.sum(vals_tb, axis=0) + prior_b
+        return {
+            "total_bpd": jnp.mean(total_b),
+            "prior_bpd": jnp.mean(prior_b),
+            "vb_mean": jnp.mean(vals_tb),
+            "mse_mean": jnp.mean(mse_tb),
+            "vb_terms": vals_tb,
+            "mse_terms": mse_tb,
+        }
 
     # --- sampling --------------------------------------------------------
     def sample_chain(self, denoise_fn, shape: Tuple[int, ...], rng: jax.Array,

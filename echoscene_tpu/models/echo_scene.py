@@ -232,18 +232,23 @@ class EchoSceneModule(nn.Module):
 
     # ------------------------------------------------------------------
     def select_shape_subbatch(self, batch: SceneBatch):
-        """Static-prefix analogue of greedy select_sdfs (EchoScene.py:290-308).
+        """Static-shape analogue of select_sdfs (EchoScene.py:246-319).
 
-        Nodes are scene-major with all padding at the global tail, so the
-        greedy whole-scene packing is the prefix [0, num_valid).  Returns
-        (obj_mask, triples, triple_mask) over the M = capacity slots.
+        greedy: nodes are scene-major with all padding at the global tail, so
+        the greedy whole-scene packing is the prefix [0, num_valid) and the
+        graph's triples remap onto the sub-batch (:290-308).
+        random/balance: host-selected object rows arrive via shapes.indices;
+        no triples reach the shape denoiser (mp_valid=False — the reference's
+        non-greedy branch leaves triples_selected empty, :300, and asserts
+        greedy when message passing is on, :103-104).
         """
         shapes = batch.shapes
         m = shapes.capacity
         nv = shapes.num_valid
         obj_mask = shapes.mask()
         s, o = batch.dec.triples[:, 0], batch.dec.triples[:, 2]
-        tri_mask = (batch.dec.triple_mask *
+        mp = 1.0 if shapes.mp_valid else 0.0
+        tri_mask = (batch.dec.triple_mask * mp *
                     (s < nv).astype(jnp.float32) * (o < nv).astype(jnp.float32))
         triples = jnp.stack([
             jnp.minimum(s, m - 1), batch.dec.triples[:, 1],
@@ -269,7 +274,6 @@ class EchoSceneModule(nn.Module):
                                          batch, train=True)
         if self.cfg.network_type == "echoscene":
             shapes = batch.shapes
-            m = shapes.capacity
             if shapes.latent is not None:
                 z0 = jax.lax.stop_gradient(shapes.latent)
             else:
@@ -277,7 +281,7 @@ class EchoSceneModule(nn.Module):
             bc = (slice(None),) + (None,) * (z0.ndim - 1)
             z_t = sqrt_ac[bc] * z0 + sqrt_1m_ac[bc] * shape_noise
             obj_mask, triples, tri_mask = self.select_shape_subbatch(batch)
-            uc_s_sel = ctx["uc_s"][:m][:, None, :]
+            uc_s_sel = shapes.gather_rows(ctx["uc_s"])[:, None, :]
             out["eps_shape"] = self.shape_eps(
                 z_t, t_shape, uc_s_sel, triples, obj_mask, tri_mask, train=True)
             out["shape_mask"] = obj_mask

@@ -113,11 +113,19 @@ def main(argv=None):
     sgdiff = SGDiff(cfg, num_objs=num_objs, num_preds=num_preds,
                     iou_stats=dataset.box_stats)
 
+    # non-greedy object sampling requires message passing off (the echo GCN
+    # needs the sub-batch's triples; EchoScene.py:103-104 asserts the same)
+    if (cfg.shape_branch.sampling != "greedy"
+            and cfg.network_type == "echoscene"):
+        assert not cfg.shape_branch.denoiser.message_passing, (
+            "shape_branch.sampling random/balance requires message_passing "
+            "false (reference EchoScene.py:103-104)")
     spec = CollateSpec(
         max_nodes=max_nodes, max_triples=max_triples,
         max_scenes=args.batchSize, diffusion_bs=cfg.diffusion_bs,
         with_sdf=args.with_SDF and args.network_type == "echoscene",
-        sdf_res=dataset.sdf_res)
+        sdf_res=dataset.sdf_res,
+        shape_sampling=cfg.shape_branch.sampling)
 
     # init with one real batch
     import jax

@@ -119,6 +119,69 @@ def test_collate_invariants(fake_root):
         assert batch.obj_to_scene[nv] != scene_of_last  # cut at scene boundary
 
 
+@pytest.mark.parametrize("mode", ["random", "balance"])
+def test_collate_nongreedy_shape_sampling(fake_root, mode):
+    """select_sdfs random/balance parity (EchoScene.py:255-289): per-scene
+    non-floor picks, indices into flat node slots, no triples for the shape
+    denoiser."""
+    ds = _ds(fake_root)
+    examples = [ds[i] for i in range(3)]
+    spec = CollateSpec(max_nodes=40, max_triples=120, max_scenes=8,
+                       diffusion_bs=6, with_sdf=True, sdf_res=16,
+                       shape_sampling=mode)
+    rng = np.random.default_rng(3)
+    batch = collate_scenes(examples, spec, sdf_loader=ds.load_sdf, rng=rng)
+    sh = batch.shapes
+    assert not sh.mp_valid
+    nv = int(sh.num_valid)
+    assert 0 < nv <= spec.diffusion_bs
+    idx = np.asarray(sh.indices)[:nv]
+    # selected rows are real non-scene nodes (floor/_scene_ have no sdf path)
+    all_paths = []
+    for e in examples:
+        all_paths.extend(e.sdf_paths)
+    assert all(all_paths[i] is not None for i in idx)
+    # loaded grids match the selected nodes' SDFs
+    for slot in range(min(nv, 3)):
+        expect = ds.load_sdf(all_paths[idx[slot]])
+        np.testing.assert_allclose(np.asarray(sh.sdf[slot]), expect)
+    if mode == "balance":
+        # per-scene picks cover distinct fine-grained cats when possible
+        grained = np.concatenate([e.objs_grained for e in examples])
+        per_scene = {}
+        obj_to_scene = np.asarray(batch.obj_to_scene)
+        for i in idx:
+            per_scene.setdefault(int(obj_to_scene[i]), []).append(
+                int(grained[i]))
+        for cats in per_scene.values():
+            assert len(set(cats)) >= min(len(cats), 2) or len(cats) == 1
+
+
+def test_train_forward_nongreedy_runs(fake_root):
+    """End-to-end loss with random shape sampling + message passing off."""
+    import jax
+    from echoscene_tpu.models.sgdiff import SGDiff
+    from tests.test_end_to_end import tiny_config
+
+    ds = _ds(fake_root)
+    cfg = tiny_config()
+    cfg.shape_branch.sampling = "random"
+    cfg.shape_branch.denoiser.message_passing = False
+    spec = CollateSpec(max_nodes=cfg.max_nodes, max_triples=cfg.max_triples,
+                       max_scenes=cfg.batch_scenes,
+                       diffusion_bs=cfg.diffusion_bs, with_sdf=True,
+                       sdf_res=16, shape_sampling="random")
+    batch = collate_scenes([ds[i] for i in range(3)], spec,
+                           sdf_loader=ds.load_sdf,
+                           rng=np.random.default_rng(0))
+    sg = SGDiff(cfg, num_objs=len(ds.classes), num_preds=len(ds.pred_names))
+    state = sg.init(jax.random.PRNGKey(0), batch)
+    loss, (_, metrics) = sg.loss_fn(state.params, state.batch_stats, batch,
+                                    jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert float(metrics["shape_loss"]) > 0
+
+
 def test_collate_scene_overflow_drops(fake_root):
     ds = _ds(fake_root)
     examples = [ds[i] for i in range(5)]

@@ -102,6 +102,67 @@ def test_layout_fast_chain_dispatch(setup):
         np.testing.assert_allclose(np.asarray(out), ref_int, atol=atol)
 
 
+def test_bpd_perfect_denoiser_on_delta_distribution():
+    """For data concentrated at a point mu, the exact eps-predictor recovers
+    x0 = mu, so every per-step KL term vanishes and total_bpd == prior_bpd
+    (diffusion_ddpm.py:521-548 semantics)."""
+    T = 50
+    tables = S.make_diffusion_tables(S.ddpm_linear_betas(1e-4, 0.02, T))
+    ld = LayoutDiffusion(tables)
+    mu = 0.3
+    ac = jnp.asarray(tables.alphas_cumprod)
+
+    def eps_star(x, t):
+        a = ac[t].reshape(-1, *([1] * (x.ndim - 1)))
+        return (x - jnp.sqrt(a) * mu) / jnp.sqrt(1 - a)
+
+    x0 = jnp.full((4, 8), mu)
+    out = ld.calc_bpd(eps_star, x0, jax.random.PRNGKey(0),
+                      clip_denoised=True)
+    assert out["vb_terms"].shape == (T, 4)
+    np.testing.assert_allclose(float(out["mse_mean"]), 0.0, atol=1e-8)
+    # exclude the t=0 row (scan order is T-1..0): the posterior variance is
+    # exactly 0 there, so its clipped log-variance (-46) amplifies f32
+    # rounding in the means by e^46 — the reference shares this quirk
+    # (posterior_log_variance_clipped, diffusion_ddpm.py:147-151)
+    vb_wo_t0 = np.asarray(out["vb_terms"])[:-1]
+    np.testing.assert_allclose(vb_wo_t0, 0.0, atol=1e-5)
+    assert float(out["prior_bpd"]) > 0
+    assert np.isfinite(float(out["total_bpd"]))
+
+
+def test_normal_kl_closed_form():
+    from echoscene_tpu.diffusion.ddpm import normal_kl
+    # KL(N(1, e^0) || N(0, e^0)) = 0.5
+    assert abs(float(normal_kl(1.0, 0.0, 0.0, 0.0)) - 0.5) < 1e-6
+    # identical distributions -> 0
+    assert abs(float(normal_kl(0.7, -1.3, 0.7, -1.3))) < 1e-9
+
+
+def test_discretized_gaussian_loglik_matches_reference_math():
+    """Literal parity with diffusion_ddpm.py:96-116 (interior = CDF delta over
+    +-0.5, boundaries one-sided at x<0.001 / x>0.999)."""
+    from echoscene_tpu.diffusion.ddpm import discretized_gaussian_log_likelihood
+    from scipy.stats import norm
+
+    x = jnp.asarray([0.0, 0.5, 1.0])
+    means = jnp.asarray([0.1, 0.4, 0.9])
+    log_scales = jnp.asarray([0.0, -1.0, 0.5])
+    lp = np.asarray(discretized_gaussian_log_likelihood(
+        x, means=means, log_scales=log_scales))
+
+    inv = np.exp(-np.asarray(log_scales))
+    c = np.asarray(x) - np.asarray(means)
+    cdf_p = norm.cdf(inv * (c + 0.5))
+    cdf_m = norm.cdf(inv * (c - 0.5))
+    expect = np.array([
+        np.log(max(cdf_p[0], 1e-12)),                 # x=0 -> boundary low
+        np.log(max(cdf_p[1] - cdf_m[1], 1e-12)),      # interior
+        np.log(max(1.0 - cdf_m[2], 1e-12)),           # x=1 -> boundary high
+    ])
+    np.testing.assert_allclose(lp, expect, rtol=1e-5)
+
+
 def test_ddim_chain_eta_noise_is_seeded(setup):
     """eta>0 path stays finite and is deterministic under the same key."""
     tables, eps, x_T = setup
