@@ -31,6 +31,26 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     return ckptr.restore(path, abstract)
 
 
+def load_vqvae_params(path: str, template_params: Any) -> Any:
+    """Load a scripts/train_vqvae.py checkpoint and return its params cast
+    onto the joint model's ['vqvae'] subtree.
+
+    Mirrors the reference's frozen-pretrained-VQ contract: the VQ-VAE is
+    trained separately and loaded frozen at model construction
+    (model/model_utils.py:7-32 load_vqvae).
+    """
+    import jax.numpy as jnp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    abstract = {"params": jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                       jax.device_get(template_params))}
+    restored = ckptr.restore(
+        path, args=ocp.args.PyTreeRestore(abstract, partial_restore=True))
+    return jax.tree.map(lambda t, p: jnp.asarray(p, t.dtype),
+                        template_params, restored["params"])
+
+
 def latest_epoch(exp_dir: str) -> int:
     ckdir = os.path.join(exp_dir, "checkpoint")
     best = -1

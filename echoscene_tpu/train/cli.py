@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel devices (shard_map over a 'data' mesh)")
     p.add_argument("--sdf_res", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--vq_ckpt", default=None,
+                   help="orbax dir from scripts/train_vqvae.py; overrides "
+                        "the config's shape_branch.vq_ckpt")
     return p
 
 
@@ -133,6 +136,23 @@ def main(argv=None):
     first = next(batch_iterator(dataset, spec, args.batchSize,
                                 np.random.default_rng(0)))
     state = sgdiff.init(jax.random.PRNGKey(args.seed), first)
+
+    # load the separately-trained frozen VQ-VAE (reference model_utils.py:7-32
+    # loads vq_ckpt at construction; here it grafts into the joint tree —
+    # the optimizer never updates it, so it stays at the loaded weights)
+    vq_ckpt = args.vq_ckpt or cfg.shape_branch.vq_ckpt
+    if (vq_ckpt and args.network_type == "echoscene"
+            and not args.loadmodel):
+        if os.path.isdir(vq_ckpt):
+            from .checkpoint import load_vqvae_params
+            vq_params = load_vqvae_params(vq_ckpt, state.params["vqvae"])
+            new_params = dict(state.params)
+            new_params["vqvae"] = vq_params
+            state = state.replace(params=new_params)
+            print(f"[train] loaded frozen VQ-VAE from {vq_ckpt}")
+        else:
+            print(f"[train] WARNING: vq_ckpt {vq_ckpt!r} not found; "
+                  "the frozen VQ-VAE keeps its random init")
 
     os.makedirs(args.exp, exist_ok=True)
     dump_args(args.exp, vars(args))

@@ -63,3 +63,35 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     b = jax.tree_util.tree_leaves(restored.params)
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_vq_ckpt_graft_into_joint_state(setup, tmp_path):
+    """scripts/train_vqvae.py checkpoint -> frozen VQ subtree of the joint
+    model (the reference's load_vqvae contract, model_utils.py:7-32)."""
+    from echoscene_tpu.models.config import VQVAEConfig
+    from echoscene_tpu.train.vqvae_trainer import VQVAETrainer
+    from echoscene_tpu.train.checkpoint import load_vqvae_params
+
+    ds, spec, sg, state = setup
+    vq = sg.cfg.shape_branch.vqvae
+    tr = VQVAETrainer(VQVAEConfig(
+        embed_dim=vq.embed_dim, n_embed=vq.n_embed, z_channels=vq.z_channels,
+        ch=vq.ch, ch_mult=tuple(vq.ch_mult),
+        num_res_blocks=vq.num_res_blocks, resolution=vq.resolution))
+    x = np.random.default_rng(0).normal(
+        size=(2, vq.resolution, vq.resolution, vq.resolution, 1)
+    ).astype(np.float32)
+    vq_state = tr.init(jax.random.PRNGKey(9), x)
+    vq_state, _ = tr.train_step(vq_state, x)
+    ckpt = str(tmp_path / "vq-best")
+    save_checkpoint(ckpt, vq_state)
+
+    loaded = load_vqvae_params(ckpt, state.params["vqvae"])
+    # grafted values equal the trained VQ state, not the joint init
+    saved = jax.device_get(vq_state.params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b)), loaded, saved)
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        loaded, jax.device_get(state.params["vqvae"])))
+    assert max(diffs) > 1e-3  # actually replaced something
