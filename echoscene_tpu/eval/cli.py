@@ -94,7 +94,6 @@ def build_parser():
     p.add_argument("--epoch", type=int, default=-1)
     p.add_argument("--eval_types", default="none",
                    help="comma list: none,relationship,addition")
-    p.add_argument("--evaluate_diversity", default=None)
     p.add_argument("--gen_shape", action="store_true")
     p.add_argument("--store_path", default="./eval_out")
     p.add_argument("--max_nodes", type=int, default=48)

@@ -229,6 +229,31 @@ def load_config(diff_yaml: str, network_type: str = "echoscene",
     return cfg
 
 
+def tiny_config(network_type: str = "echoscene") -> EchoSceneConfig:
+    """Structurally complete model at test/smoke widths (canonical helper
+    shared by the test suite and hermetic drives)."""
+    return EchoSceneConfig(
+        network_type=network_type,
+        embedding_dim=8,
+        gconv_num_layers=2,
+        diffusion_bs=12,
+        max_nodes=24, max_triples=64, batch_scenes=3,
+        layout_denoiser=LayoutDenoiserConfig(
+            model_channels=16, channel_mult=(1, 1), num_res_blocks=1,
+            attention_resolutions=(2,), num_heads=4, concat_dim=32,
+            crossattn_dim=32, use_checkpoint=False),
+        layout_diffusion=LayoutDiffusionConfig(time_num=12),
+        shape_branch=ShapeBranchConfig(
+            ddim_steps=4,
+            denoiser=ShapeDenoiserConfig(
+                image_size=4, model_channels=8, num_res_blocks=1,
+                attention_resolutions=(2,), channel_mult=(1, 2), num_heads=2,
+                context_dim=32, timesteps=12, use_checkpoint=False),
+            vqvae=VQVAEConfig(n_embed=16, ch=4, ch_mult=(1, 2, 4),
+                              resolution=16)),
+    )
+
+
 def save_config(cfg: EchoSceneConfig, path: str) -> None:
     with open(path, "w") as f:
         yaml.safe_dump(dataclasses.asdict(cfg), f)

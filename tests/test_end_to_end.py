@@ -11,33 +11,10 @@ import pytest
 from echoscene_tpu.data.fake import make_fake_dataset
 from echoscene_tpu.data.sgfront import SGFrontDataset
 from echoscene_tpu.data.collate import collate_scenes, CollateSpec
-from echoscene_tpu.models.config import (
-    EchoSceneConfig, LayoutDenoiserConfig, LayoutDiffusionConfig,
-    ShapeBranchConfig, ShapeDenoiserConfig, VQVAEConfig)
+from echoscene_tpu.models.config import EchoSceneConfig, tiny_config  # noqa: F401
+# (tiny_config now lives in models.config; re-exported here because several
+# test modules import it from this module)
 from echoscene_tpu.models.sgdiff import SGDiff
-
-
-def tiny_config(network_type="echoscene") -> EchoSceneConfig:
-    return EchoSceneConfig(
-        network_type=network_type,
-        embedding_dim=8,
-        gconv_num_layers=2,
-        diffusion_bs=12,
-        max_nodes=24, max_triples=64, batch_scenes=3,
-        layout_denoiser=LayoutDenoiserConfig(
-            model_channels=16, channel_mult=(1, 1), num_res_blocks=1,
-            attention_resolutions=(2,), num_heads=4, concat_dim=32,
-            crossattn_dim=32, use_checkpoint=False),
-        layout_diffusion=LayoutDiffusionConfig(time_num=12),
-        shape_branch=ShapeBranchConfig(
-            ddim_steps=4,
-            denoiser=ShapeDenoiserConfig(
-                image_size=4, model_channels=8, num_res_blocks=1,
-                attention_resolutions=(2,), channel_mult=(1, 2), num_heads=2,
-                context_dim=32, timesteps=12, use_checkpoint=False),
-            vqvae=VQVAEConfig(n_embed=16, ch=4, ch_mult=(1, 2, 4),
-                              resolution=16)),
-    )
 
 
 @pytest.fixture(scope="module")
