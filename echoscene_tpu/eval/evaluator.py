@@ -102,7 +102,9 @@ class SceneEvaluator:
                 and self.dump_sdfs):
             np.savez_compressed(
                 os.path.join(self.store_path, f"{ex.scan_id}.npz"),
-                sdfs=out_slice["shapes"][..., 0],
+                # cast: bf16 sampling outputs would otherwise serialize as
+                # raw void ('|V2') — unreadable by downstream metric CLIs
+                sdfs=np.asarray(out_slice["shapes"][..., 0], np.float32),
                 instance_ids=np.asarray(
                     (ex.instance_ids or list(range(n - 1))) + [-1]),
                 categories=np.asarray(

@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vq_ckpt", default=None,
                    help="orbax dir from scripts/train_vqvae.py; overrides "
                         "the config's shape_branch.vq_ckpt")
+    p.add_argument("--diffusion_bs", type=int, default=0,
+                   help="override the shape-branch object capacity (the "
+                        "yaml's hyper.batch_size; smaller fits one chip's "
+                        "HBM — the reference default 64 assumes a larger "
+                        "accelerator)")
     return p
 
 
@@ -103,6 +108,8 @@ def main(argv=None):
     cfg.separated = args.separated
     cfg.replace_latent = args.replace_latent
     cfg.use_angles = args.with_angles
+    if args.diffusion_bs:
+        cfg.diffusion_bs = args.diffusion_bs
     cfg.compute_dtype = args.compute_dtype
     cfg.layout_diffusion.train_stats_file = dataset.box_stats_path
     cfg.layout_denoiser.using_clip = args.with_CLIP
