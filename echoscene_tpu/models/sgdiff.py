@@ -96,8 +96,13 @@ class SGDiff:
         # the modules either way
         if (cfg.sample_dtype in ("bfloat16", "int8")
                 and cfg.sample_dtype != cfg.compute_dtype):
-            import dataclasses as _dc
-            infer_cfg = _dc.replace(cfg, compute_dtype=cfg.sample_dtype)
+            import copy as _copy
+            infer_cfg = _copy.deepcopy(cfg)
+            infer_cfg.compute_dtype = cfg.sample_dtype
+            # rematerialisation only pays off in the backward pass; sampling
+            # has none, so drop the nn.remat wrappers from the twin
+            infer_cfg.layout_denoiser.use_checkpoint = False
+            infer_cfg.shape_branch.denoiser.use_checkpoint = False
             self.module_infer = EchoSceneModule(infer_cfg, num_objs=num_objs,
                                                 num_preds=num_preds)
         else:
