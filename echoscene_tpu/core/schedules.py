@@ -151,9 +151,32 @@ def lambda_uniform_timesteps(num_steps: int, alphas_cumprod: np.ndarray) -> np.n
     """
     ac = np.asarray(alphas_cumprod, dtype=np.float64)
     lam = 0.5 * (np.log(ac) - np.log1p(-ac))
-    targets = np.linspace(lam[-1], lam[0], num_steps)
-    idx = np.unique([int(np.argmin(np.abs(lam - t))) for t in targets])
-    return idx.astype(np.int64)
+    # exclude t=0 (the DDIM grid convention starts at 1, matching the
+    # reference's +1 shift) and enforce STRICTLY decreasing indices while
+    # walking ascending lambda targets — a naive nearest-index pick collapses
+    # duplicates where lambda is steep, silently shortening the schedule and
+    # producing a degenerate a_t == a_prev final row.
+    targets = np.linspace(lam[-1], lam[1], num_steps)
+    idxs = []
+    prev = len(ac)
+    for tgt in targets:
+        i = int(np.argmin(np.abs(lam - tgt)))
+        i = min(i, prev - 1)
+        if i < 1:
+            break
+        idxs.append(i)
+        prev = i
+    # targets cluster where lambda is steep (low t); when the strictly-
+    # decreasing walk exhausts that end, backfill with the smallest unused
+    # indices so the requested step count is honored exactly
+    if len(idxs) < num_steps:
+        used = set(idxs)
+        for i in range(1, len(ac)):
+            if i not in used:
+                idxs.append(i)
+                if len(idxs) >= num_steps:
+                    break
+    return np.asarray(sorted(idxs), dtype=np.int64)
 
 
 @dataclasses.dataclass(frozen=True)

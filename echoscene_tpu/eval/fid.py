@@ -71,7 +71,7 @@ def torchscript_extractor(path: str, input_size: int = 299) -> Callable:
     def run(imgs) -> np.ndarray:
         x = torch.from_numpy(np.asarray(imgs)).float().permute(0, 3, 1, 2)
         x = x / 255.0
-        if x.shape[-1] != input_size:
+        if tuple(x.shape[-2:]) != (input_size, input_size):
             x = torch.nn.functional.interpolate(
                 x, size=(input_size, input_size), mode="bilinear",
                 align_corners=False)

@@ -115,12 +115,13 @@ class SGDiff:
             loss_iou=lc.loss_iou, iou_type=lc.iou_type,
             iou_stats=None if iou_stats is None else jnp.asarray(iou_stats))
         self.is_echoscene = cfg.network_type == "echoscene"
-        if lc.sampler == "dpmpp":
-            self.layout_fast_tables = self.layout_diff.make_dpmpp_tables(
-                lc.sample_steps)
-        elif lc.sampler != "ddpm":
-            self.layout_fast_tables = self.layout_diff.make_ddim_tables(
-                lc.sample_steps)
+        # built unconditionally (tiny (S,) tables): sample_fn dispatches on
+        # the LIVE cfg.layout_diffusion.sampler, and call sites mutate the
+        # cfg dataclasses — a conditional attribute here would be a trap
+        self.layout_fast_tables = {
+            "ddim": self.layout_diff.make_ddim_tables(lc.sample_steps),
+            "dpmpp": self.layout_diff.make_dpmpp_tables(lc.sample_steps),
+        }
         if self.is_echoscene:
             sd = cfg.shape_branch.denoiser
             self.shape_diff = ShapeDiffusion(S.make_diffusion_tables(
@@ -304,8 +305,8 @@ class SGDiff:
                 box_denoise, box_shape, k_box, clip_denoised=False)
         else:
             vec8 = self.layout_diff.sample_chain_fast(
-                box_denoise, box_shape, k_box, self.layout_fast_tables,
-                method=lc.sampler)
+                box_denoise, box_shape, k_box,
+                self.layout_fast_tables[lc.sampler], method=lc.sampler)
         out = dict(self.layout_diff.split_sample(vec8))
         out["keep"] = 1.0 - batch.change_flags
 

@@ -39,7 +39,13 @@ def request_to_example(req: Dict[str, Any], classes: Dict[str, int],
     scene root node appended with 'in' edges, CLIP text features per node and
     per relation phrase.
     """
-    names = [str(o) for o in req["objects"]]
+    names = [str(o) for o in req.get("objects", [])]
+    if not names:
+        raise ValueError(f"request {req.get('id', request_id)!r}: "
+                         "'objects' must be a non-empty list")
+    if not use_scene_rels and not req.get("triples"):
+        raise ValueError(f"request {req.get('id', request_id)!r}: at least "
+                         "one triple required without scene-root edges")
     unknown = [n for n in names if n not in classes]
     if unknown:
         raise KeyError(f"unknown object classes {unknown}; "
@@ -146,6 +152,15 @@ class GenerationService:
             r, self.classes, self.rel_dict, self.clip,
             use_scene_rels=self.use_scene_rels, request_id=f"req{i}")
             for i, r in enumerate(requests)]
+        # validate EVERYTHING before the first (expensive) generation call so
+        # a malformed request fails fast instead of discarding finished work
+        for e in examples:
+            if (e.num_nodes > self.spec.max_nodes
+                    or len(e.triples) > self.spec.max_triples):
+                raise ValueError(
+                    f"request {e.scan_id} exceeds capacity "
+                    f"({e.num_nodes} nodes / {len(e.triples)} triples vs "
+                    f"{self.spec.max_nodes}/{self.spec.max_triples})")
         results: List[Optional[Dict[str, Any]]] = [None] * len(examples)
 
         idx = 0
@@ -157,11 +172,6 @@ class GenerationService:
                                or tt + len(e.triples) > self.spec.max_triples
                                or len(group) >= self.spec.max_scenes)):
                     break
-                if (e.num_nodes > self.spec.max_nodes
-                        or len(e.triples) > self.spec.max_triples):
-                    raise ValueError(
-                        f"request {e.scan_id} exceeds capacity "
-                        f"({e.num_nodes} nodes / {len(e.triples)} triples)")
                 group.append(e)
                 gidx.append(idx)
                 nn += e.num_nodes

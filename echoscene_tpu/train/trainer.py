@@ -58,14 +58,16 @@ def batch_iterator(dataset: SGFrontDataset, spec: CollateSpec,
             continue
         buf.append(ex)
         if len(buf) == batch_scenes:
+            # thread the epoch rng so non-greedy shape sampling draws fresh
+            # objects every batch (the reference's per-forward torch.randperm)
             b = collate_scenes(buf, spec, sdf_loader=dataset.load_sdf,
-                               latent_lookup=latent_lookup)
+                               latent_lookup=latent_lookup, rng=rng)
             if b is not None:
                 yield b
             buf = []
     if buf:
         b = collate_scenes(buf, spec, sdf_loader=dataset.load_sdf,
-                           latent_lookup=latent_lookup)
+                           latent_lookup=latent_lookup, rng=rng)
         if b is not None:
             yield b
 

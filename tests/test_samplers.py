@@ -131,6 +131,20 @@ def test_bpd_perfect_denoiser_on_delta_distribution():
     assert np.isfinite(float(out["total_bpd"]))
 
 
+def test_lambda_uniform_grid_exact_count_no_t0():
+    """Regression: the nearest-index pick used to collapse duplicates
+    (requesting 100 gave 94) and always included t=0, making the final
+    transition degenerate (a_t == a_prev -> one wasted denoiser call)."""
+    tables = _tables()
+    for n in (10, 20, 50, 100):
+        steps = S.lambda_uniform_timesteps(n, tables.alphas_cumprod)
+        assert len(steps) == n, (n, len(steps))
+        assert steps[0] >= 1
+        assert (np.diff(steps) > 0).all()
+        sub = S.ddim_tables(tables.alphas_cumprod, steps, 0.0)
+        assert (np.asarray(sub.alphas) != np.asarray(sub.alphas_prev)).all()
+
+
 def test_normal_kl_closed_form():
     from echoscene_tpu.diffusion.ddpm import normal_kl
     # KL(N(1, e^0) || N(0, e^0)) = 0.5

@@ -62,6 +62,21 @@ def test_request_errors(service):
         request_to_example({"objects": list(ds.classes)[:2],
                             "triples": [[0, "no_such_rel", 1]]},
                            ds.classes, ds.rel_dict, clip)
+    with pytest.raises(ValueError):
+        request_to_example({"objects": []}, ds.classes, ds.rel_dict, clip)
+    with pytest.raises(ValueError):
+        request_to_example({"objects": list(ds.classes)[:2]},
+                           ds.classes, ds.rel_dict, clip,
+                           use_scene_rels=False)
+
+
+def test_generate_validates_all_before_running(service):
+    """One oversize request fails the whole call BEFORE any generation."""
+    svc, ds = service
+    big = {"objects": [n for n in ds.classes if n != "_scene_"] * 20,
+           "triples": [], "id": "big"}
+    with pytest.raises((ValueError, KeyError)):
+        svc.generate([_request(ds, 0), big])
 
 
 def test_generate_batches_and_descale(service):
