@@ -54,6 +54,8 @@ def evaluate(args):
         cfg.shape_branch.sampler = args.shape_sampler
     if args.shape_steps:
         cfg.shape_branch.ddim_steps = args.shape_steps
+    if args.sample_dtype:
+        cfg.sample_dtype = args.sample_dtype
     ds0 = make_ds("none")
     cfg.layout_diffusion.train_stats_file = ds0.box_stats_path
 
@@ -117,6 +119,9 @@ def build_parser():
                    help="override shape sampler step count")
     p.add_argument("--dp_devices", type=int, default=1,
                    help="shard generation over a data mesh of this many chips")
+    p.add_argument("--sample_dtype", default=None,
+                   choices=["float32", "bfloat16", "int8"],
+                   help="override sampling precision (int8 = experimental)")
     return p
 
 
