@@ -72,8 +72,11 @@ def _stream_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 
 def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     """Whole-K tile in VMEM; single-pass softmax.  Fastest when K fits —
-    and, empirically, the only Pallas variant that stays fast inside a long
-    lax.scan body (the 3D-grid streaming kernel regresses ~4x in-scan)."""
+    re-measured with input-varying + D2H timing (BASELINE.md timing trap):
+    in a 20-step lax.scan at the 1024-token UNet3D site, one-pass 4.94 ms,
+    streaming 5.12 ms, einsum 6.33 ms per step — the previously recorded
+    "streaming regresses 4x in-scan" was a timing artifact; one-pass stays
+    the in-scan default because it is (slightly) fastest when K fits."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
