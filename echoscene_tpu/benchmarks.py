@@ -93,8 +93,11 @@ def time_generation(sg, state, batch, batch_scenes: int, n_iters: int = 3,
     """Compile + warm up, then average scenes/sec over `n_iters` calls."""
     import jax
 
+    from .models.sgdiff import shape_row_capacity
+    rows = shape_row_capacity(batch)
     sample = jax.jit(
-        lambda p, bs, b, k: sg.sample_fn(p, bs, b, k, gen_shape=gen_shape))
+        lambda p, bs, b, k: sg.sample_fn(p, bs, b, k, gen_shape=gen_shape,
+                                         shape_rows=rows))
     out = sample(state.params, state.batch_stats, batch, jax.random.PRNGKey(0))
     jax.block_until_ready(out)
     float(out["sizes"].sum())  # D2H readback — see timing note below

@@ -69,6 +69,10 @@ class ShapeDenoiserConfig:
     message_passing: bool = True
     enable_t_emb: bool = True
     conditioning_key: str = "crossattn"
+    # sampling-only Pallas fusion of the ResBlock GN+SiLU+conv3d pattern
+    # (kernels/fused_conv.py); enabled automatically on TPU for bf16
+    # sampling (SGDiff builds the inference twin with it)
+    fused_conv: bool = False
     # LDM schedule (model.params in sdfusion yaml)
     linear_start: float = 0.00085
     linear_end: float = 0.012

@@ -103,6 +103,7 @@ class EchoSceneModule(nn.Module):
                 message_passing=sd.message_passing,
                 enable_t_emb=sd.enable_t_emb,
                 use_checkpoint=sd.use_checkpoint,
+                fused_conv=getattr(sd, "fused_conv", False),
                 num_preds=16, dtype=dtype)
             vq = cfg.shape_branch.vqvae
             self.vqvae = VQVAE(

@@ -65,6 +65,18 @@ def make_optimizer(cfg: EchoSceneConfig, params):
     return tx
 
 
+def shape_row_capacity(batch: SceneBatch, multiple: int = 4) -> int:
+    """Host-side STATIC row count for the compacted sampling shape chain.
+
+    Real nodes occupy the scene-major prefix; the count is rounded up to
+    `multiple` so the number of distinct compiled sampler variants stays
+    bounded (and the chunked VQ decode stays divisible).
+    """
+    real = int(np.asarray(jax.device_get(batch.dec.obj_mask)).sum())
+    rounded = -(-max(real, 1) // multiple) * multiple
+    return min(batch.num_nodes, rounded)
+
+
 def clip_and_sanitize_grads(grads, max_norm: float = 5.0):
     """clip_grad_norm_ on the shape denoiser + NaN-grad zeroing
     (train_3dfront.py:253-259)."""
@@ -103,6 +115,14 @@ class SGDiff:
             # has none, so drop the nn.remat wrappers from the twin
             infer_cfg.layout_denoiser.use_checkpoint = False
             infer_cfg.shape_branch.denoiser.use_checkpoint = False
+            # Pallas fused GN+SiLU+conv3d ResBlocks on the TPU bf16 path
+            # (the kernel is forward-only and bf16-out; int8 keeps Int8Conv).
+            # ECHOSCENE_NO_FUSED_CONV=1 disables it for A/B benchmarking.
+            import os as _os
+            if (cfg.sample_dtype == "bfloat16"
+                    and jax.default_backend() != "cpu"
+                    and not _os.environ.get("ECHOSCENE_NO_FUSED_CONV")):
+                infer_cfg.shape_branch.denoiser.fused_conv = True
             self.module_infer = EchoSceneModule(infer_cfg, num_objs=num_objs,
                                                 num_preds=num_preds)
         else:
@@ -268,12 +288,21 @@ class SGDiff:
 
     def sample_fn(self, params, batch_stats, batch: SceneBatch, rng: jax.Array,
                   gen_shape: bool = True, with_manipulation: bool = False,
-                  decode_chunk: int = 8):
+                  decode_chunk: int = 8, shape_rows: Optional[int] = None):
         """Generate layout (full DDPM chain) and shapes (DDIM + VQ decode).
 
         Mirrors Sg2ScDiffModel.sample (:388-420); with_manipulation covers
         sample_with_changes/_additions (:422-532): change noise on flagged
         nodes + latent splicing for untouched ones.
+
+        shape_rows: STATIC row count for the shape chain.  Nodes are
+        scene-major with all padding at the global tail (core/graphbatch.py),
+        so running the 100-step DDIM chain + VQ decode over only the first
+        `shape_rows` slots skips the padded tail at identical per-real-node
+        outputs (the reference denoises every node of the batch,
+        echo2shape.py:497-510 — padding is purely our collate artifact).
+        Must be >= the batch's real-node count (use `shape_row_capacity`);
+        shape outputs for slots >= shape_rows are zeros.
         """
         if self.module_infer is not self.module:
             # pre-cast the f32 master params to bf16 ONCE per sampling call,
@@ -314,41 +343,69 @@ class SGDiff:
             sd_cfg = self.cfg.shape_branch
             r = sd_cfg.denoiser.image_size
             zc = sd_cfg.vqvae.embed_dim
-            uc_s = ctx["uc_s"][:, None, :]
+            m = n if shape_rows is None else min(int(shape_rows), n)
+            uc_s = ctx["uc_s"][:m, None, :]
+            if m < n:
+                # compacted chain: clip triple endpoints into [0, m) and mask
+                # out any edge that would touch a dropped (padded) slot —
+                # real triples only reference real nodes, all of which live
+                # in the prefix, so this is exact (select_shape_subbatch
+                # applies the same remap for training)
+                s, o = batch.dec.triples[:, 0], batch.dec.triples[:, 2]
+                tri_mask = (batch.dec.triple_mask
+                            * (s < m).astype(jnp.float32)
+                            * (o < m).astype(jnp.float32))
+                triples = jnp.stack([jnp.minimum(s, m - 1),
+                                     batch.dec.triples[:, 1],
+                                     jnp.minimum(o, m - 1)], axis=1)
+                obj_mask = batch.dec.obj_mask[:m]
+            else:
+                triples, tri_mask = batch.dec.triples, batch.dec.triple_mask
+                obj_mask = batch.dec.obj_mask
 
             def shape_denoise(z, t):
                 return self.module_infer.apply(
-                    variables, z, t, uc_s, batch.dec.triples,
-                    batch.dec.obj_mask, batch.dec.triple_mask,
+                    variables, z, t, uc_s, triples, obj_mask, tri_mask,
                     method=EchoSceneModule.shape_eps)
 
-            x_T = self.shape_diff.shared_noise(k_shape, n, (r, r, r, zc))
+            x_T = self.shape_diff.shared_noise(k_shape, m, (r, r, r, zc))
             if sd_cfg.sampler == "dpmpp":
                 z0 = self.shape_diff.dpmpp_sample_chain(
-                    shape_denoise, (n, r, r, r, zc), k_shape,
+                    shape_denoise, (m, r, r, r, zc), k_shape,
                     self.ddim_tables, x_T=x_T)
             else:
                 z0 = self.shape_diff.ddim_sample_chain(
-                    shape_denoise, (n, r, r, r, zc), k_shape,
+                    shape_denoise, (m, r, r, r, zc), k_shape,
                     self.ddim_tables, x_T=x_T)
-            # chunked VQ decode to bound memory (64^3 output grids)
-            if n % decode_chunk == 0 and n > decode_chunk:
-                zc_ = z0.reshape(n // decode_chunk, decode_chunk, *z0.shape[1:])
+            # chunked VQ decode to bound memory (64^3 output grids); the
+            # chunk adapts downward so compacted row counts (multiples of 4)
+            # still take the bounded-memory path
+            decode_chunk = next(c for c in (decode_chunk, 4, 2, 1)
+                                if m % c == 0)
+            if m > decode_chunk:
+                zc_ = z0.reshape(m // decode_chunk, decode_chunk, *z0.shape[1:])
                 sdf = jax.lax.map(lambda z: self.module_infer.apply(
                     variables, z, method=EchoSceneModule.decode_latent), zc_)
-                sdf = sdf.reshape(n, *sdf.shape[2:])
+                sdf = sdf.reshape(m, *sdf.shape[2:])
             else:
                 sdf = self.module_infer.apply(variables, z0,
                                         method=EchoSceneModule.decode_latent)
+            if m < n:
+                sdf = jnp.concatenate(
+                    [sdf, jnp.zeros((n - m,) + sdf.shape[1:], sdf.dtype)], 0)
             out["shapes"] = sdf
         return out
 
     def sample(self, state: TrainState, batch: SceneBatch, rng: jax.Array,
-               gen_shape: bool = True, with_manipulation: bool = False):
+               gen_shape: bool = True, with_manipulation: bool = False,
+               compact: bool = True):
         if self._sample is None:
             self._sample = jax.jit(
                 functools.partial(self.sample_fn),
-                static_argnames=("gen_shape", "with_manipulation"))
+                static_argnames=("gen_shape", "with_manipulation",
+                                 "shape_rows"))
+        rows = shape_row_capacity(batch) if compact else None
         return self._sample(state.params, state.batch_stats, batch, rng,
                             gen_shape=gen_shape,
-                            with_manipulation=with_manipulation)
+                            with_manipulation=with_manipulation,
+                            shape_rows=rows)

@@ -116,10 +116,15 @@ class Int8Dense(nn.Module):
 # class name ("Conv_0", "Conv_1", ...).  Int8Conv/Int8Dense substitute for
 # nn.Conv/nn.Dense inside modules whose other path creates the plain flax
 # layer, so they must produce IDENTICAL parameter scopes — otherwise the
-# shared f32 param tree doesn't resolve.  (Param names/shapes/init already
-# match; this fixes the scope.)
-Int8Conv.__name__ = "Conv"
-Int8Dense.__name__ = "Dense"
+# shared f32 param tree doesn't resolve.  Rather than mutating
+# Int8Conv.__name__ globally (which would rewrite reprs, tracebacks and jax
+# stack annotations everywhere), purpose-built SUBCLASSES carry the scope
+# name: flax reads the subclass's __name__ for auto-naming, while inherited
+# methods keep their Int8* __qualname__ so debugging still shows which
+# implementation ran.  Use these only at the nn.Conv/nn.Dense substitution
+# sites (_conv in nn/blocks.py, dense below).
+ScopedInt8Conv = type("Conv", (Int8Conv,), {"__doc__": "Int8Conv under the 'Conv' flax scope name."})
+ScopedInt8Dense = type("Dense", (Int8Dense,), {"__doc__": "Int8Dense under the 'Dense' flax scope name."})
 
 
 def dense(features: int, *, use_bias: bool = True, dtype=None, name=None,
@@ -131,5 +136,6 @@ def dense(features: int, *, use_bias: bool = True, dtype=None, name=None,
     if bias_init is not None:
         kw["bias_init"] = bias_init
     if is_int8(dtype):
-        return Int8Dense(features=features, use_bias=use_bias, name=name, **kw)
+        return ScopedInt8Dense(features=features, use_bias=use_bias,
+                               name=name, **kw)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name, **kw)

@@ -45,6 +45,7 @@ class ShapeDenoiser(nn.Module):
     message_passing: bool = True
     enable_t_emb: bool = True
     use_checkpoint: bool = False
+    fused_conv: bool = False
     dropout: float = 0.0
     gconv_dim: int = 64
     gconv_num_layers: int = 5
@@ -78,6 +79,7 @@ class ShapeDenoiser(nn.Module):
             context_dim=torso_ctx,
             dropout=self.dropout,
             use_checkpoint=self.use_checkpoint,
+            fused_conv=self.fused_conv,
             dtype=self.dtype,
         )
         time_embed_dim = self.model_channels * 4

@@ -35,6 +35,7 @@ class UNetTorso(nn.Module):
     dropout: float = 0.0
     use_checkpoint: bool = False
     use_scale_shift_norm: bool = False
+    fused_conv: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -50,6 +51,7 @@ class UNetTorso(nn.Module):
             return blk(channels=ch_in, out_channels=ch_out,
                        spatial_rank=self.spatial_rank, dropout=self.dropout,
                        use_scale_shift_norm=self.use_scale_shift_norm,
+                       fused=self.fused_conv and not self.use_checkpoint,
                        dtype=self.dtype, name=name)
 
         def attn(ch, name):

@@ -32,3 +32,10 @@ def stack_shards(batches) -> object:
     """Stack per-device pytrees on a new leading axis (host-side numpy)."""
     import numpy as np
     return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *batches)
+
+
+def shard_stacked(tree, mesh: Mesh, axis: str = "data"):
+    """Commit a stacked pytree's leading axis to `axis` of the mesh (GSPMD)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

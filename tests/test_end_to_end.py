@@ -7,6 +7,10 @@ tiny shapes, CPU.
 import numpy as np
 import jax
 import pytest
+# Full-model jit compiles make this module multi-minute on one CPU
+# core; excluded from the fast default selection (pytest.ini addopts).
+pytestmark = pytest.mark.slow
+
 
 from echoscene_tpu.data.fake import make_fake_dataset
 from echoscene_tpu.data.sgfront import SGFrontDataset
@@ -86,6 +90,30 @@ def test_sample_full_pipeline(setup):
     shapes = np.asarray(out["shapes"])
     assert shapes.shape == (n, 16, 16, 16, 1)
     assert np.isfinite(shapes).all()
+
+
+def test_compacted_shape_sampling_matches_full(setup):
+    """shape_rows compaction (sample_fn) must reproduce the full-width chain
+    exactly on the real rows — padded slots are masked out of the echo GCN,
+    per-object attention never crosses rows, and the shared initial noise is
+    a broadcast single draw, so only dead FLOPs are removed."""
+    from echoscene_tpu.models.sgdiff import shape_row_capacity
+    _, _, batch, sg, state = setup
+    full = sg.sample_fn(state.params, state.batch_stats, batch,
+                        jax.random.PRNGKey(5), gen_shape=True)
+    rows = shape_row_capacity(batch, multiple=4)
+    assert rows < batch.num_nodes, "fixture must leave padded tail slots"
+    comp = sg.sample_fn(state.params, state.batch_stats, batch,
+                        jax.random.PRNGKey(5), gen_shape=True,
+                        shape_rows=rows)
+    real = int(np.asarray(batch.dec.obj_mask).sum())
+    for k in ("sizes", "translations", "angles"):
+        np.testing.assert_allclose(np.asarray(full[k]), np.asarray(comp[k]),
+                                   atol=1e-5)
+    np.testing.assert_allclose(np.asarray(full["shapes"])[:real],
+                               np.asarray(comp["shapes"])[:real], atol=2e-4)
+    # dropped tail is zeros
+    assert np.all(np.asarray(comp["shapes"])[rows:] == 0)
 
 
 def test_sample_with_manipulation_keep_mask(setup):

@@ -3,6 +3,10 @@ tensor-parallel param shardings, and the driver's dryrun entry."""
 import numpy as np
 import jax
 import pytest
+# Full-model jit compiles make this module multi-minute on one CPU
+# core; excluded from the fast default selection (pytest.ini addopts).
+pytestmark = pytest.mark.slow
+
 
 from echoscene_tpu.parallel.mesh import make_mesh, stack_shards
 from echoscene_tpu.parallel.dp import (build_dp_sample, build_dp_train_step,
@@ -111,17 +115,52 @@ def test_model_parallel_sharding_placement(tiny_setup):
     sg, state, _, _, _ = tiny_setup
     mesh = make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
     sharded = shard_params_for_model_parallel(state.params, mesh)
-    # find one attention kernel in the shape denoiser and check its sharding
+    # attention qkv kernels column-shard; ResBlock conv pairs column/row-shard
     flat = jax.tree_util.tree_flatten_with_path(sharded)[0]
-    found = 0
+    found_attn = found_c0 = found_c1 = 0
+    P = jax.sharding.PartitionSpec
     for path, leaf in flat:
         keys = [getattr(k, "key", "") for k in path]
-        if ("shape_denoiser" in keys and keys[-1] == "kernel"
-                and keys[-2] in ("to_q", "to_k", "to_v")):
-            spec = leaf.sharding.spec
-            assert spec == jax.sharding.PartitionSpec(None, "model"), (keys, spec)
-            found += 1
-    assert found > 0
+        if "shape_denoiser" not in keys or keys[-1] != "kernel":
+            continue
+        gparent = keys[-3] if len(keys) > 2 else ""
+        in_res = gparent.endswith("_res") or gparent.startswith("mid_res")
+        if keys[-2] in ("to_q", "to_k", "to_v"):
+            assert leaf.sharding.spec == P(None, "model"), keys
+            found_attn += 1
+        elif in_res and keys[-2] == "Conv_0" and leaf.shape[-1] % 2 == 0:
+            assert leaf.sharding.spec == P(None, None, None, None, "model"), keys
+            found_c0 += 1
+        elif in_res and keys[-2] == "Conv_1" and leaf.shape[-2] % 2 == 0:
+            assert leaf.sharding.spec == P(None, None, None, "model", None), keys
+            found_c1 += 1
+    assert found_attn > 0 and found_c0 > 0 and found_c1 > 0, (
+        found_attn, found_c0, found_c1)
+
+
+def test_tp_sharded_sampling_matches_single_device(tiny_setup):
+    """A tp=2 GSPMD sampling run (conv kernels channel-sharded on 'model')
+    must match the unsharded single-device sample — the sharding is a layout
+    annotation, never a semantic change."""
+    from echoscene_tpu.parallel.dp import build_dp_tp_sample
+    from echoscene_tpu.parallel.mesh import shard_stacked
+
+    sg, state, batch, _, _ = tiny_setup
+    mesh = make_mesh((1, 2), ("data", "model"), jax.devices()[:2])
+    sharded_params = shard_params_for_model_parallel(state.params, mesh)
+    host_batch = jax.device_get(batch)
+    stacked = shard_stacked(stack_shards([host_batch]), mesh)
+    rng = jax.random.PRNGKey(3)
+    rngs = shard_stacked(np.stack([np.asarray(rng)]), mesh)
+
+    sample = build_dp_tp_sample(sg, mesh, gen_shape=True)
+    out = sample(sharded_params, state.batch_stats, stacked, rngs)
+    ref = jax.jit(lambda p, bs, b, k: sg.sample_fn(p, bs, b, k, gen_shape=True))(
+        state.params, state.batch_stats, batch, rng)
+    for key in ("sizes", "translations", "angles", "shapes"):
+        got = np.asarray(out[key])[0]
+        want = np.asarray(ref[key])
+        np.testing.assert_allclose(got, want, atol=2e-4, err_msg=key)
 
 
 def test_graft_dryrun_multichip():
