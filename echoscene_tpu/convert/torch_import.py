@@ -18,6 +18,14 @@ Conventions:
 
 All inputs are numpy arrays (call `{k: v.numpy() for k, v in sd.items()}` on
 a torch state_dict first, or use `load_torch_state_dict`).
+
+CLIP-conditioning requirement: imported reference checkpoints were trained on
+OpenAI CLIP's PROJECTED text embeddings (clip.encode_text — layernorm(EOS
+hidden) @ text_projection, dataset/threedfront_dataset.py:387,389).  A
+converted model therefore needs `clip_backend` 'cache' (reference pickles) or
+'transformers' (CLIPTextModelWithProjection.text_embeds — same vectors); the
+hermetic 'hash' backend produces different conditioning and will not
+reproduce the checkpoint's behavior.
 """
 from __future__ import annotations
 

@@ -36,10 +36,19 @@ class ClipTextEncoder:
         self._memo: Dict[str, np.ndarray] = {}
         self._hf = None
         if backend == "transformers":
-            from transformers import CLIPTextModel, CLIPTokenizer  # local weights only
+            # The reference conditions on OpenAI CLIP's PROJECTED text
+            # embedding — clip.encode_text = layernorm(EOS hidden state)
+            # @ text_projection (dataset/threedfront_dataset.py:387,389,686).
+            # CLIPTextModelWithProjection.text_embeds reproduces exactly
+            # that; plain CLIPTextModel.pooler_output would omit the
+            # projection and silently produce different vectors.
+            from transformers import (CLIPTextModelWithProjection,
+                                      CLIPTokenizer)  # local weights only
             path = model_path or "openai/clip-vit-base-patch32"
-            self._hf = (CLIPTokenizer.from_pretrained(path, local_files_only=True),
-                        CLIPTextModel.from_pretrained(path, local_files_only=True))
+            self._hf = (
+                CLIPTokenizer.from_pretrained(path, local_files_only=True),
+                CLIPTextModelWithProjection.from_pretrained(
+                    path, local_files_only=True))
         elif backend == "cache" and cache_table and os.path.exists(cache_table):
             data = np.load(cache_table, allow_pickle=True)
             self._memo = {k: np.asarray(v, np.float32) for k, v in data.items()}
@@ -52,7 +61,7 @@ class ClipTextEncoder:
             tok, model = self._hf
             with torch.no_grad():
                 inputs = tok([text], padding=True, return_tensors="pt")
-                feat = model(**inputs).pooler_output[0].numpy().astype(np.float32)
+                feat = model(**inputs).text_embeds[0].numpy().astype(np.float32)
         else:
             # hash backend (also the fallback for cache misses)
             seed = int.from_bytes(

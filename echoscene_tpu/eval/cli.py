@@ -73,11 +73,19 @@ def evaluate(args):
         state = restore_checkpoint(
             os.path.join(args.exp, "checkpoint", f"model{args.epoch}"), state)
 
+    mesh_db = None
+    if args.render_type == "retrieval":
+        from .retrieval import SizeDatabase
+        assert args.mesh_db, "--render_type retrieval requires --mesh_db " \
+            "(cat_jid_trainval[_small].json)"
+        mesh_db = SizeDatabase(args.mesh_db, model_dir=args.model_dir)
+
     evaluator = SceneEvaluator(
         sg, state, spec, ds0.box_stats, gen_shape=args.gen_shape,
         store_path=args.store_path, render_dir=args.render_dir,
         dump_sdfs=args.dump_sdfs, eval_batch=args.eval_batch,
-        dp_devices=args.dp_devices)
+        dp_devices=args.dp_devices, render_type=args.render_type,
+        mesh_db=mesh_db)
 
     key = jax.random.PRNGKey(47)
     results = {}
@@ -107,6 +115,17 @@ def build_parser():
                    help="save generated SDF grids per scene (consistency CLI input)")
     p.add_argument("--render_dir", default=None,
                    help="save top-down renders (FID generated set)")
+    p.add_argument("--render_type", default="echoscene",
+                   choices=["echoscene", "retrieval", "onlybox"],
+                   help="echoscene = generated SDF meshes; retrieval = "
+                        "3D-FUTURE meshes by predicted size (helpers/util.py:"
+                        "86-138); onlybox = solid box layout render")
+    p.add_argument("--mesh_db", default=None,
+                   help="cat_jid_trainval[_small].json for --render_type "
+                        "retrieval")
+    p.add_argument("--model_dir", default=None,
+                   help="3D-FUTURE-model directory (default: next to "
+                        "--mesh_db)")
     p.add_argument("--layout_sampler", default=None,
                    choices=["ddpm", "ddim", "dpmpp"],
                    help="override layout sampler (default: full DDPM chain)")

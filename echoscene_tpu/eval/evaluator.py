@@ -52,7 +52,8 @@ class SceneEvaluator:
                  store_path: str = "./eval_out",
                  render_dir: Optional[str] = None,
                  dump_sdfs: bool = False, eval_batch: int = 1,
-                 dp_devices: int = 1):
+                 dp_devices: int = 1, render_type: str = "echoscene",
+                 mesh_db=None):
         import jax
         self.sg = sg
         self.state = state
@@ -64,13 +65,16 @@ class SceneEvaluator:
         self.dump_sdfs = dump_sdfs
         self.eval_batch = eval_batch
         self.dp_devices = dp_devices
+        self.render_type = render_type    # echoscene | retrieval | onlybox
+        self.mesh_db = mesh_db            # SizeDatabase for 'retrieval'
         os.makedirs(store_path, exist_ok=True)
         if render_dir:
             os.makedirs(render_dir, exist_ok=True)
         self._sample = jax.jit(
-            lambda p, bs, b, k, manip: sg.sample_fn(
-                p, bs, b, k, gen_shape=gen_shape, with_manipulation=manip),
-            static_argnames=("manip",))
+            lambda p, bs, b, k, manip, rows: sg.sample_fn(
+                p, bs, b, k, gen_shape=gen_shape, with_manipulation=manip,
+                shape_rows=rows),
+            static_argnames=("manip", "rows"))
         self._dp_sample = {}
         if dp_devices > 1:
             from ..parallel.mesh import make_mesh
@@ -79,15 +83,16 @@ class SceneEvaluator:
             self._mesh = make_mesh((dp_devices,), ("data",),
                                    jax.devices()[:dp_devices])
 
-    def _dp_sampler(self, manip: bool):
+    def _dp_sampler(self, manip: bool, shape_rows: int = None):
         """Sampling is embarrassingly parallel over scenes: each device runs
         the full chains on its own shard (parallel.dp.build_dp_sample)."""
-        if manip not in self._dp_sample:
+        key = (manip, shape_rows)
+        if key not in self._dp_sample:
             from ..parallel.dp import build_dp_sample
-            self._dp_sample[manip] = build_dp_sample(
+            self._dp_sample[key] = build_dp_sample(
                 self.sg, self._mesh, gen_shape=self.gen_shape,
-                with_manipulation=manip)
-        return self._dp_sample[manip]
+                with_manipulation=manip, shape_rows=shape_rows)
+        return self._dp_sample[key]
 
     # ------------------------------------------------------------------
     def score_scene(self, ds, ex, out_slice: Dict[str, np.ndarray],
@@ -113,11 +118,22 @@ class SceneEvaluator:
         if self.render_dir:
             from .render import render_scene_topdown, save_png
             boxes7 = np.concatenate([boxes6, angles], -1)
-            sdfs = None
-            if self.gen_shape and out_slice.get("shapes") is not None:
-                sdfs = out_slice["shapes"][..., 0]
-            img = render_scene_topdown(
-                ex.objs, boxes7, ds.vocab["object_idx_to_name"], sdfs)
+            names = ds.vocab["object_idx_to_name"]
+            if self.render_type == "retrieval":
+                # eval_3dfront.py --render_type retrieval: database meshes by
+                # predicted size (the layout-only shape-visualization path)
+                from .retrieval import render_scene_retrieval
+                img = render_scene_retrieval(
+                    ex.objs, boxes7, names, self.mesh_db,
+                    mesh_dir=os.path.join(self.render_dir, "object_meshes",
+                                          ex.scan_id))
+            elif self.render_type == "onlybox":
+                img = render_scene_topdown(ex.objs, boxes7, names, None)
+            else:
+                sdfs = None
+                if self.gen_shape and out_slice.get("shapes") is not None:
+                    sdfs = out_slice["shapes"][..., 0]
+                img = render_scene_topdown(ex.objs, boxes7, names, sdfs)
             save_png(img, os.path.join(self.render_dir, f"{ex.scan_id}.png"))
         if etype != "none":
             # untouched nodes keep their GT boxes (eval_3dfront.py:191-202)
@@ -164,12 +180,14 @@ class SceneEvaluator:
             shards = [b for _, b in pending]
             while len(shards) < self.dp_devices:
                 shards.append(shards[-1])
+            from ..models.sgdiff import shape_row_capacity
+            rows = max(shape_row_capacity(b) for b in shards)
             stacked = stack_shards([jax.device_get(b) for b in shards])
             keys = []
             for _ in range(self.dp_devices):
                 key, sk = jax.random.split(key)
                 keys.append(sk)
-            out = self._dp_sampler(manip)(
+            out = self._dp_sampler(manip, rows)(
                 self.state.params, self.state.batch_stats, stacked,
                 jax.numpy.stack(keys))
             out_np = {k: np.asarray(v) for k, v in out.items()}
@@ -177,40 +195,60 @@ class SceneEvaluator:
                 score_group(group, {k: v[d] for k, v in out_np.items()})
             pending.clear()
 
-        group: List = []
-        for i in range(n_eval):
-            ex = ds[i]
-            if ex is not None:
-                group.append(ex)
-            if len(group) < self.eval_batch and i < n_eval - 1:
-                continue
-            if not group:
-                continue
-            # mirror the collate capacity rule so per-scene offsets line up
-            kept, nn, tt = [], 0, 0
-            for e in group:
-                if (nn + e.num_nodes <= spec.max_nodes
-                        and tt + len(e.triples) <= spec.max_triples
-                        and len(kept) < spec.max_scenes):
-                    kept.append(e)
-                    nn += e.num_nodes
-                    tt += len(e.triples)
-            group = kept
+        # Scenes that don't fit the current group are REQUEUED for the next
+        # one (never silently dropped); scenes exceeding capacity even alone
+        # are counted and reported — the reference scores every scene
+        # one-at-a-time, so coverage gaps here must be visible.
+        from collections import deque
+
+        queue: deque = deque()
+        self.skipped_scenes: List[str] = []
+        scored = 0
+        i = 0
+        while i < n_eval or queue:
+            while len(queue) < self.eval_batch and i < n_eval:
+                ex = ds[i]
+                i += 1
+                if ex is None:
+                    continue
+                if (ex.num_nodes > spec.max_nodes
+                        or len(ex.triples) > spec.max_triples):
+                    self.skipped_scenes.append(ex.scan_id)
+                    print(f"[eval] WARNING: scene {ex.scan_id} exceeds "
+                          f"collate capacity ({ex.num_nodes} nodes / "
+                          f"{len(ex.triples)} triples vs "
+                          f"{spec.max_nodes}/{spec.max_triples}) — skipped; "
+                          "raise --max_nodes/--max_triples to score it")
+                    continue
+                queue.append(ex)
+            if not queue:
+                break
+            group, nn, tt = [], 0, 0
+            cap = min(self.eval_batch, spec.max_scenes)
+            while queue:
+                e = queue[0]
+                if group and (nn + e.num_nodes > spec.max_nodes
+                              or tt + len(e.triples) > spec.max_triples
+                              or len(group) >= cap):
+                    break
+                group.append(queue.popleft())
+                nn += e.num_nodes
+                tt += len(e.triples)
             batch = collate_scenes(group, spec)
             if batch is None:
-                group = []
                 continue
+            scored += len(group)
             if self.dp_devices > 1:
                 pending.append((group, batch))
                 if len(pending) == self.dp_devices:
                     flush_dp()
             else:
+                from ..models.sgdiff import shape_row_capacity
                 key, sk = jax.random.split(key)
                 out = self._sample(self.state.params, self.state.batch_stats,
-                                   batch, sk, manip)
+                                   batch, sk, manip, shape_row_capacity(batch))
                 out_np = {k: np.asarray(v) for k, v in out.items()}
                 score_group(group, out_np)
-            group = []
         flush_dp()
         report = os.path.join(self.store_path,
                               f"{etype}_accuracy_analysis.txt")
@@ -219,4 +257,11 @@ class SceneEvaluator:
                                            (acc_unchanged, "unchanged nodes")])
         else:
             write_accuracy_report(report, [(acc, "acc")])
+        if self.skipped_scenes:
+            note = (f"skipped {len(self.skipped_scenes)} over-capacity "
+                    f"scene(s) of {scored + len(self.skipped_scenes)}: "
+                    f"{self.skipped_scenes}\n")
+            with open(report, "a") as f:
+                f.write(note)
+            print("[eval] " + note, end="")
         return acc, acc_unchanged, key

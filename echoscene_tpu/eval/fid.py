@@ -86,8 +86,22 @@ def torchscript_extractor(path: str, input_size: int = 299) -> Callable:
 
 
 def get_extractor(spec: str = "random") -> Callable:
-    if spec.startswith(("inception:", "torchscript:")):
+    """'inception:<path>' -> the JAX-native FID-Inception port
+    (eval/inception_fid.py; weights converted from the TorchScript file once
+    and cached as npz), falling back to the TorchScript runner if the file
+    is not a convertible FID-Inception checkpoint.  'torchscript:<path>'
+    forces the torch path."""
+    if spec.startswith("torchscript:"):
         return torchscript_extractor(spec.split(":", 1)[1])
+    if spec.startswith("inception:"):
+        path = spec.split(":", 1)[1]
+        try:
+            from .inception_fid import jax_inception_extractor
+            return jax_inception_extractor(path)
+        except Exception as e:  # e.g. a scripted net that isn't FID-Inception
+            print(f"[fid] JAX Inception port unavailable for {path} "
+                  f"({type(e).__name__}: {e}); using TorchScript fallback")
+            return torchscript_extractor(path)
     return random_conv_extractor()
 
 

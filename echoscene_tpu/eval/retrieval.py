@@ -1,0 +1,150 @@
+"""3D-FUTURE mesh retrieval by predicted box size.
+
+Behavioral reference: helpers/util.py:71-138 — `get_closest_furniture_to_box`
+(L2 nearest over the per-category {furniture_jid: [l, h, w]} size table from
+`cat_jid_trainval[_small].json`) and `get_database_objects` (load
+`<model_dir>/<jid>/raw_model.obj`, yaw-rotate + translate into the predicted
+box, skip `_scene_`/`floor`, optional lamp removal).  Differences by design:
+angles here are radians throughout (the repo's box convention), and scene
+exports are OBJ (no trimesh/glb dependency on a TPU host).
+
+Drives the eval CLI's `--render_type retrieval` mode — the layout-only
+(EchoLayout) configs' shape-visualization path.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .render import class_color, get_rotation_3dfront
+
+
+def read_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal ASCII OBJ reader (v / f lines; polygons fan-triangulated)."""
+    verts: List[List[float]] = []
+    faces: List[List[int]] = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return (np.asarray(verts, np.float32),
+            np.asarray(faces, np.int32).reshape(-1, 3))
+
+
+class SizeDatabase:
+    """cat_jid_trainval[_small].json wrapper with vectorized nearest-size
+    lookup (get_closest_furniture_to_box, helpers/util.py:71-83)."""
+
+    def __init__(self, json_path: str, model_dir: Optional[str] = None):
+        with open(json_path) as f:
+            self.table: Dict[str, Dict[str, Sequence[float]]] = json.load(f)
+        self.model_dir = model_dir or os.path.join(
+            os.path.dirname(os.path.abspath(json_path)), "3D-FUTURE-model")
+        self._cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        self._mesh_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def closest(self, label: str, size: Sequence[float]) -> Optional[str]:
+        if label not in self.table or not self.table[label]:
+            return None
+        if label not in self._cache:
+            d = self.table[label]
+            self._cache[label] = (np.asarray(list(d.keys())),
+                                  np.asarray(list(d.values()), np.float32))
+        ids, lhw = self._cache[label]
+        mses = np.sum((lhw - np.asarray(size, np.float32)) ** 2, axis=-1)
+        return str(ids[int(np.argmin(mses))])
+
+    def load_mesh(self, jid: str) -> Tuple[np.ndarray, np.ndarray]:
+        if jid not in self._mesh_cache:
+            self._mesh_cache[jid] = read_obj(
+                os.path.join(self.model_dir, jid, "raw_model.obj"))
+        return self._mesh_cache[jid]
+
+
+def place_retrieved(verts: np.ndarray, box7: Sequence[float]) -> np.ndarray:
+    """Yaw + translate a retrieved mesh into the scene (get_database_objects
+    :120-128: vertices @ R(angle) + t, no rescale — the mesh was chosen to
+    match the predicted size).  box7 angle in RADIANS."""
+    angle = float(box7[6])
+    t = np.asarray(box7[3:6], np.float32)
+    R = get_rotation_3dfront(angle).astype(np.float32)
+    return (np.asarray(verts, np.float32) @ R + t).astype(np.float32)
+
+
+def assemble_scene_retrieval(objs: Sequence[int], boxes7: np.ndarray,
+                             class_names: Sequence[str], db: SizeDatabase,
+                             skip_classes: Sequence[str] = ("_scene_", "floor"),
+                             without_lamp: bool = True,
+                             floor_extent: float = 5.0,
+                             mesh_dir: Optional[str] = None):
+    """-> (verts, tris, tri_colors) with database meshes; objects whose
+    category has no table entry fall back to a solid box.  When `mesh_dir`
+    is given, each placed object is exported as
+    `<label>_<cat>_<instance>.obj` (get_database_objects :118)."""
+    from .render import box_mesh, export_obj
+
+    all_v: List[np.ndarray] = []
+    all_t: List[np.ndarray] = []
+    all_c: List[np.ndarray] = []
+    off = 0
+
+    def add(v, t, color):
+        nonlocal off
+        if len(t) == 0:
+            return
+        all_v.append(v)
+        all_t.append(t + off)
+        all_c.append(np.tile(color[None], (len(t), 1)))
+        off += len(v)
+
+    fv = np.array([[-floor_extent, 0, -floor_extent],
+                   [floor_extent, 0, -floor_extent],
+                   [floor_extent, 0, floor_extent],
+                   [-floor_extent, 0, floor_extent]], np.float32)
+    add(fv, np.array([[0, 2, 1], [0, 3, 2]], np.int32),
+        np.array([0.85, 0.85, 0.85], np.float32))
+
+    instance = 1
+    for i, cid in enumerate(objs):
+        name = class_names[int(cid)].rstrip("\n")
+        if name in skip_classes or (without_lamp and name == "lamp"):
+            continue
+        jid = db.closest(name, boxes7[i, :3])
+        color = class_color(name)
+        if jid is None:
+            cv, ct = box_mesh(boxes7[i])
+            add(cv, ct, color)
+            continue
+        mv, mt = db.load_mesh(jid)
+        mv = place_retrieved(mv, boxes7[i])
+        if mesh_dir:
+            os.makedirs(mesh_dir, exist_ok=True)
+            export_obj(os.path.join(
+                mesh_dir, f"{name}_{int(cid)}_{instance}.obj"), mv, mt)
+        instance += 1
+        add(mv, mt, color)
+
+    if not all_v:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32),
+                np.zeros((0, 3), np.float32))
+    return (np.concatenate(all_v), np.concatenate(all_t).astype(np.int32),
+            np.concatenate(all_c))
+
+
+def render_scene_retrieval(objs, boxes7, class_names, db: SizeDatabase,
+                           image_size: int = 256, **kw) -> np.ndarray:
+    from .. import native
+    verts, tris, colors = assemble_scene_retrieval(objs, boxes7, class_names,
+                                                   db, **kw)
+    return native.rasterize_topdown(verts, tris, colors,
+                                    width=image_size, height=image_size)

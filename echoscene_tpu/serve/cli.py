@@ -10,6 +10,16 @@ Usage:
 
 Request format:
   {"objects": ["bed", "wardrobe"], "triples": [[0, "left", 1]], "id": "x"}
+
+Interactive manipulation (sample_with_changes/_additions parity): reference a
+previous response by id and apply a delta; untouched objects keep their
+previous boxes/shapes (keep mask):
+  {"previous": "x", "id": "x2",
+   "manipulation": {"type": "addition", "object": "lamp",
+                    "triples": [[-1, "left", 0]]}}      # -1 = the new node
+  {"previous": "x", "id": "x3",
+   "manipulation": {"type": "relationship", "index": 0,
+                    "predicate": "right"}}
 """
 from __future__ import annotations
 
@@ -25,6 +35,8 @@ def run_http(service, host: str, port: int):
 
     lock = threading.Lock()   # one generation call at a time (single chip)
 
+    MAX_BODY = 64 * 1024 * 1024   # reject absurd Content-Length up front
+
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
             if self.path.rstrip("/") not in ("", "/generate", "/v1/generate"):
@@ -32,6 +44,9 @@ def run_http(service, host: str, port: int):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > MAX_BODY:
+                    raise ValueError(
+                        f"request body {length} bytes exceeds {MAX_BODY}")
                 payload = json.loads(self.rfile.read(length) or b"[]")
                 if isinstance(payload, dict):
                     payload = [payload]
@@ -41,7 +56,12 @@ def run_http(service, host: str, port: int):
                 self.send_response(200)
             except Exception as e:  # surface the error to the client
                 body = json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
-                self.send_response(400)
+                # client errors (malformed/oversized requests) -> 400;
+                # anything else is a server fault -> 500
+                is_client = isinstance(
+                    e, (ValueError, KeyError, IndexError, TypeError,
+                        json.JSONDecodeError))
+                self.send_response(400 if is_client else 500)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
@@ -59,7 +79,10 @@ def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--exp", required=True)
     p.add_argument("--dataset", default=None)
-    p.add_argument("--epoch", type=int, default=-1)
+    p.add_argument("--epoch", type=int, default=None,
+                   help="checkpoint epoch to serve; defaults to the latest "
+                        "checkpoint in <exp>/checkpoint (error if none). "
+                        "Pass -1 explicitly to serve uninitialized params.")
     p.add_argument("--gen_shape", action="store_true")
     p.add_argument("--meshes", action="store_true",
                    help="return marching-tetrahedra meshes instead of SDFs")

@@ -29,7 +29,9 @@ from ..data.sgfront import SceneExample
 def request_to_example(req: Dict[str, Any], classes: Dict[str, int],
                        rel_dict: Dict[str, int], clip: ClipTextEncoder,
                        use_scene_rels: bool = True,
-                       request_id: str = "request") -> SceneExample:
+                       request_id: str = "request",
+                       manipulation: Optional[Dict[str, Any]] = None
+                       ) -> SceneExample:
     """Build a SceneExample from a user request.
 
     req = {"objects": ["bed", "wardrobe", ...],
@@ -38,8 +40,46 @@ def request_to_example(req: Dict[str, Any], classes: Dict[str, int],
     Mirrors the dataset's graph construction (data/sgfront.py:_load_scene):
     scene root node appended with 'in' edges, CLIP text features per node and
     per relation phrase.
+
+    `manipulation` makes the example a paired encoder/decoder view for
+    sample_with_changes/_additions semantics (model/EchoScene.py:422-532,
+    mirrored by data/sgfront.py eval-mode manipulation):
+      {"type": "addition", "object": "lamp",
+       "triples": [[-1, "left", 0], ...]}   # -1 = the added node
+        -> decoder contains the new node (change-flagged); the encoder view
+           masks it and its edges out,
+      {"type": "relationship", "index": k, "predicate": "left"}
+        -> decoder gets the new predicate on user-triple k (+ its CLIP
+           phrase re-encoded); the encoder keeps the original; both
+           endpoints are change-flagged.
     """
     names = [str(o) for o in req.get("objects", [])]
+    added_idx = changed_idx = None
+    if manipulation is not None:
+        mtype = manipulation.get("type")
+        if mtype == "addition":
+            new_name = str(manipulation["object"])
+            if new_name not in classes:
+                raise KeyError(f"unknown added object class {new_name!r}")
+            added_idx = len(names)
+            names = names + [new_name]
+            req = dict(req)
+            extra = []
+            for s, p, o in manipulation.get("triples", []):
+                s = added_idx if int(s) < 0 else int(s)
+                o = added_idx if int(o) < 0 else int(o)
+                extra.append([s, p, o])
+            req["triples"] = list(req.get("triples", [])) + extra
+        elif mtype == "relationship":
+            changed_idx = int(manipulation["index"])
+            if not (0 <= changed_idx < len(req.get("triples", []))):
+                raise IndexError(
+                    f"manipulation index {changed_idx} out of range")
+            new_pred = str(manipulation["predicate"])
+            if new_pred not in rel_dict:
+                raise KeyError(f"unknown predicate {new_pred!r}")
+        else:
+            raise ValueError(f"unknown manipulation type {mtype!r}")
     if not names:
         raise ValueError(f"request {req.get('id', request_id)!r}: "
                          "'objects' must be a non-empty list")
@@ -71,6 +111,30 @@ def request_to_example(req: Dict[str, Any], classes: Dict[str, int],
         node_texts.append("room")
     n, t = len(cat_ids), len(triples)
     tri = np.asarray(triples, np.int32)
+    enc_tri = tri.copy()
+    enc_words = list(words)
+    enc_node_mask = np.ones(n, np.float32)
+    enc_triple_mask = np.ones(t, np.float32)
+    change_flags = np.zeros(n, np.float32)
+    mtype = "none"
+    if added_idx is not None:
+        # eval-mode addition semantics (data/sgfront.py:264-275): the encoder
+        # never sees the new node or any edge touching it
+        mtype = "addition"
+        enc_node_mask[added_idx] = 0.0
+        change_flags[added_idx] = 1.0
+        touching = (tri[:, 0] == added_idx) | (tri[:, 2] == added_idx)
+        enc_triple_mask[touching] = 0.0
+    elif changed_idx is not None:
+        # eval-mode relationship semantics (:294-300): the DECODER side gets
+        # the new predicate + re-encoded phrase; the encoder keeps the old
+        mtype = "relationship"
+        new_pred = str(manipulation["predicate"])
+        s, _, o = tri[changed_idx]
+        tri[changed_idx, 1] = rel_dict[new_pred]
+        words[changed_idx] = f"{names[int(s)]} {new_pred} {names[int(o)]}"
+        change_flags[int(s)] = 1.0
+        change_flags[int(o)] = 1.0
     return SceneExample(
         scan_id=str(req.get("id", request_id)),
         objs=np.asarray(cat_ids, np.int32),
@@ -79,12 +143,12 @@ def request_to_example(req: Dict[str, Any], classes: Dict[str, int],
         boxes=np.full((n, 7), -1.0, np.float32),   # no GT at serve time
         text_feats=clip.encode_many(node_texts),
         rel_feats=clip.encode_many(words),
-        enc_triples=tri.copy(),
-        enc_rel_feats=clip.encode_many(words),
-        enc_node_mask=np.ones(n, np.float32),
-        enc_triple_mask=np.ones(t, np.float32),
-        change_flags=np.zeros(n, np.float32),
-        manipulation_type="none",
+        enc_triples=enc_tri,
+        enc_rel_feats=clip.encode_many(enc_words),
+        enc_node_mask=enc_node_mask,
+        enc_triple_mask=enc_triple_mask,
+        change_flags=change_flags,
+        manipulation_type=mtype,
     )
 
 
@@ -108,8 +172,16 @@ class GenerationService:
         self.return_meshes = return_meshes
         self.use_scene_rels = use_scene_rels
         self._key = jax.random.PRNGKey(seed)
-        self._sample = jax.jit(lambda p, bs, b, k: sg.sample_fn(
-            p, bs, b, k, gen_shape=gen_shape))
+        self._sample = jax.jit(
+            lambda p, bs, b, k, rows, manip: sg.sample_fn(
+                p, bs, b, k, gen_shape=gen_shape, shape_rows=rows,
+                with_manipulation=manip),
+            static_argnames=("rows", "manip"))
+        # previous-response store for interactive manipulation requests
+        # (sample_with_changes/_additions parity, model/EchoScene.py:422-532)
+        from collections import OrderedDict
+        self._store: "OrderedDict[str, Dict[str, Any]]" = OrderedDict()
+        self._store_cap = 256
 
     # ------------------------------------------------------------------
     def _scene_result(self, ex: SceneExample, out_slice) -> Dict[str, Any]:
@@ -143,15 +215,93 @@ class GenerationService:
                 res["sdfs"] = sdfs.tolist()
         return res
 
+    @staticmethod
+    def effective_request(base: Dict[str, Any],
+                          manip: Optional[Dict[str, Any]]) -> Dict[str, Any]:
+        """The post-manipulation scene graph as a plain request dict — what
+        gets stored so chained manipulations compose."""
+        out = {"objects": list(base.get("objects", [])),
+               "triples": [list(t) for t in base.get("triples", [])]}
+        if manip is None:
+            return out
+        if manip.get("type") == "addition":
+            new_idx = len(out["objects"])
+            out["objects"].append(str(manip["object"]))
+            for s, p, o in manip.get("triples", []):
+                s = new_idx if int(s) < 0 else int(s)
+                o = new_idx if int(o) < 0 else int(o)
+                out["triples"].append([s, p, o])
+        elif manip.get("type") == "relationship":
+            out["triples"][int(manip["index"])][1] = str(manip["predicate"])
+        return out
+
+    def _remember(self, effective_req: Dict[str, Any],
+                  result: Dict[str, Any]) -> None:
+        self._store[str(result["id"])] = {"request": effective_req,
+                                          "result": result}
+        self._store.move_to_end(str(result["id"]))
+        while len(self._store) > self._store_cap:
+            self._store.popitem(last=False)
+
+    @staticmethod
+    def _splice_previous(res: Dict[str, Any], prev: Dict[str, Any],
+                         keep) -> None:
+        """Untouched nodes keep the previous response's values — the keep-mask
+        contract (eval_3dfront.py:192-202 keeps GT boxes for keep==1)."""
+        for j, k in enumerate(keep):
+            if k != 1.0 or j >= len(prev.get("sizes", [])):
+                continue
+            for field in ("sizes", "translations", "angles"):
+                if field in res and field in prev:
+                    res[field][j] = prev[field][j]
+            for field in ("sdfs", "meshes"):
+                if field in res and field in prev and j < len(prev[field]):
+                    res[field][j] = prev[field][j]
+
     def generate(self, requests: Sequence[Dict[str, Any]]) -> List[Dict[str, Any]]:
-        """Micro-batch the requests into padded generation calls."""
+        """Micro-batch the requests into padded generation calls.
+
+        A request may reference a PREVIOUS response and apply a manipulation
+        delta (the serving form of sample_with_changes/_additions):
+          {"previous": "<result id>",
+           "manipulation": {"type": "addition", "object": "lamp",
+                            "triples": [[-1, "left", 0]]}}
+          {"previous": "<result id>",
+           "manipulation": {"type": "relationship", "index": 0,
+                            "predicate": "right"}}
+        Untouched nodes keep the previous response's boxes/shapes (the keep
+        mask, EchoScene.py:465-471); only change-flagged nodes are re-sampled.
+        `manipulation` without `previous` also works (no splice source).
+        """
         import jax
         from ..data.collate import collate_scenes
 
-        examples = [request_to_example(
-            r, self.classes, self.rel_dict, self.clip,
-            use_scene_rels=self.use_scene_rels, request_id=f"req{i}")
-            for i, r in enumerate(requests)]
+        examples, manips, prevs = [], [], []
+        for i, r in enumerate(requests):
+            manip = r.get("manipulation")
+            prev_res = None
+            if r.get("previous") is not None:
+                stored = self._store.get(str(r["previous"]))
+                if stored is None:
+                    raise KeyError(
+                        f"unknown previous response id {r['previous']!r}")
+                base = dict(stored["request"])
+                base["id"] = r.get("id", f"req{i}")
+                prev_res = stored["result"]
+            else:
+                base = r
+            examples.append(request_to_example(
+                base, self.classes, self.rel_dict, self.clip,
+                use_scene_rels=self.use_scene_rels, request_id=f"req{i}",
+                manipulation=manip))
+            manips.append(manip is not None)
+            prevs.append(prev_res)
+        req_effective = [
+            self.effective_request(
+                dict(self._store[str(r["previous"])]["request"])
+                if r.get("previous") is not None else r,
+                r.get("manipulation"))
+            for r in requests]
         # validate EVERYTHING before the first (expensive) generation call so
         # a malformed request fails fast instead of discarding finished work
         for e in examples:
@@ -166,33 +316,53 @@ class GenerationService:
         idx = 0
         while idx < len(examples):
             group, gidx, nn, tt = [], [], 0, 0
+            manip_flag = manips[idx]
             while idx < len(examples):
                 e = examples[idx]
+                # manipulated and plain scenes never share a batch: the
+                # manipulation path splices encoder latents, which is only a
+                # no-op for unflagged scenes under replace_latent=True
                 if (group and (nn + e.num_nodes > self.spec.max_nodes
                                or tt + len(e.triples) > self.spec.max_triples
-                               or len(group) >= self.spec.max_scenes)):
+                               or len(group) >= self.spec.max_scenes
+                               or manips[idx] != manip_flag)):
                     break
                 group.append(e)
                 gidx.append(idx)
                 nn += e.num_nodes
                 tt += len(e.triples)
                 idx += 1
+            from ..models.sgdiff import shape_row_capacity
             batch = collate_scenes(group, self.spec)
             self._key, sk = jax.random.split(self._key)
             out = self._sample(self.state.params, self.state.batch_stats,
-                               batch, sk)
+                               batch, sk, shape_row_capacity(batch),
+                               manip_flag)
             out_np = {k: np.asarray(v) for k, v in out.items()}
             off = 0
             for e, i in zip(group, gidx):
                 n = e.num_nodes
                 sl = {k: v[off:off + n] for k, v in out_np.items()}
-                results[i] = self._scene_result(e, sl)
+                res = self._scene_result(e, sl)
+                if manips[i]:
+                    n_real = n - (1 if self.use_scene_rels else 0)
+                    keep = (1.0 - e.change_flags[:n_real]).tolist()
+                    res["keep"] = keep
+                    res["manipulation"] = e.manipulation_type
+                    if prevs[i] is not None:
+                        self._splice_previous(res, prevs[i], keep)
+                results[i] = res
+                self._remember(req_effective[i], res)
                 off += n
-        return [r for r in results if r is not None]
+        # every request slot must have been filled exactly once — a batching
+        # bug must fail loudly, never silently drop a scene
+        missing = [i for i, r in enumerate(results) if r is None]
+        assert not missing, f"internal error: unfilled request slots {missing}"
+        return results  # positionally aligned with `requests`
 
 
 def service_from_experiment(exp: str, dataset: Optional[str] = None,
-                            epoch: int = -1, gen_shape: bool = True,
+                            epoch: Optional[int] = None, gen_shape: bool = True,
                             return_meshes: bool = False,
                             max_nodes: int = 48, max_triples: int = 160,
                             max_scenes: int = 8,
@@ -212,7 +382,7 @@ def service_from_experiment(exp: str, dataset: Optional[str] = None,
     from ..data.sgfront import SGFrontDataset
     from ..models.config import load_config
     from ..models.sgdiff import SGDiff
-    from ..train.checkpoint import restore_checkpoint
+    from ..train.checkpoint import latest_epoch, restore_checkpoint
 
     with open(os.path.join(exp, "args.json")) as f:
         margs = json.load(f)
@@ -246,9 +416,22 @@ def service_from_experiment(exp: str, dataset: Optional[str] = None,
                 iou_stats=ds.box_stats)
     ex0 = next(e for e in (ds[i] for i in range(len(ds))) if e is not None)
     state = sg.init(jax.random.PRNGKey(0), collate_scenes([ex0], spec))
+    # epoch=None (the default) serves the LATEST checkpoint and refuses to
+    # serve a randomly-initialized model; an explicit epoch=-1 opts into
+    # un-restored params (tests/smoke only) with a loud warning.
+    if epoch is None:
+        epoch = latest_epoch(exp)
+        if epoch < 0:
+            raise FileNotFoundError(
+                f"no checkpoint found under {os.path.join(exp, 'checkpoint')}; "
+                "refusing to serve uninitialized params (pass --epoch -1 to "
+                "override for smoke testing)")
     if epoch >= 0:
         state = restore_checkpoint(
             os.path.join(exp, "checkpoint", f"model{epoch}"), state)
+    else:
+        print("[serve] WARNING: --epoch -1 — serving UNRESTORED random "
+              "params; outputs are garbage. Train or pass a checkpoint epoch.")
     return GenerationService(sg, state, spec, ds.box_stats, ds.classes,
                              ds.rel_dict, clip=clip, gen_shape=gen_shape,
                              return_meshes=return_meshes,

@@ -6,6 +6,10 @@ only the layout branch; exercised here via network_type='echolayout'.
 import numpy as np
 import jax
 import pytest
+# Full-model jit compiles make this module multi-minute on one CPU
+# core; excluded from the fast default selection (pytest.ini addopts).
+pytestmark = pytest.mark.slow
+
 
 from echoscene_tpu.data.fake import make_fake_dataset
 from echoscene_tpu.data.sgfront import SGFrontDataset

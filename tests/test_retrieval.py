@@ -1,0 +1,105 @@
+"""3D-FUTURE retrieval render mode: size lookup, OBJ IO, placement, render.
+
+Reference semantics: helpers/util.py:71-138 (nearest-size retrieval +
+yaw/translate placement) and eval_3dfront.py --render_type retrieval|onlybox.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from echoscene_tpu.eval.retrieval import (SizeDatabase, assemble_scene_retrieval,
+                                          place_retrieved, read_obj,
+                                          render_scene_retrieval)
+from echoscene_tpu.eval.render import export_obj
+
+
+def _cube(sx, sy, sz):
+    v = np.array([[x, y, z] for x in (0, sx) for y in (0, sy)
+                  for z in (0, sz)], np.float32)
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6]], np.int32)
+    return v, f
+
+
+@pytest.fixture(scope="module")
+def fake_db(tmp_path_factory):
+    root = tmp_path_factory.mktemp("future")
+    model_dir = root / "3D-FUTURE-model"
+    table = {"bed": {}, "table": {}}
+    sizes = {"bed": [(2.0, 0.5, 1.6), (1.2, 0.4, 1.0)],
+             "table": [(0.8, 0.7, 0.8)]}
+    for cat, szs in sizes.items():
+        for k, s in enumerate(szs):
+            jid = f"{cat}-{k}"
+            table[cat][jid] = list(s)
+            d = model_dir / jid
+            d.mkdir(parents=True)
+            v, f = _cube(*s)
+            export_obj(str(d / "raw_model.obj"), v, f)
+    p = root / "cat_jid_trainval.json"
+    with open(p, "w") as f:
+        json.dump(table, f)
+    return SizeDatabase(str(p)), table
+
+
+def test_nearest_size_lookup(fake_db):
+    db, table = fake_db
+    assert db.closest("bed", [1.9, 0.5, 1.5]) == "bed-0"
+    assert db.closest("bed", [1.1, 0.35, 1.0]) == "bed-1"
+    assert db.closest("table", [9, 9, 9]) == "table-0"
+    assert db.closest("no_such_cat", [1, 1, 1]) is None
+
+
+def test_read_obj_roundtrip(fake_db, tmp_path):
+    v, f = _cube(1.0, 2.0, 3.0)
+    p = str(tmp_path / "m.obj")
+    export_obj(p, v, f)
+    v2, f2 = read_obj(p)
+    np.testing.assert_allclose(v2, v, atol=1e-6)
+    np.testing.assert_array_equal(f2, f)
+
+
+def test_read_obj_triangulates_quads(tmp_path):
+    p = str(tmp_path / "quad.obj")
+    with open(p, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1/1 2/2 3/3 4/4\n")
+    v, faces = read_obj(p)
+    assert v.shape == (4, 3)
+    np.testing.assert_array_equal(faces, [[0, 1, 2], [0, 2, 3]])
+
+
+def test_place_retrieved_rotates_and_translates(fake_db):
+    v = np.array([[1.0, 0.0, 0.0]], np.float32)
+    # yaw pi/2 about +y, then translate
+    out = place_retrieved(v, [1, 1, 1, 10.0, 0.0, 5.0, np.pi / 2])
+    # R(pi/2) = [[0,0,-1],[0,1,0],[1,0,0]]; v @ R = (0, 0, -1)
+    np.testing.assert_allclose(out[0], [10.0, 0.0, 4.0], atol=1e-5)
+
+
+def test_assemble_and_render_retrieval(fake_db, tmp_path):
+    db, _ = fake_db
+    classes = ["_scene_", "bed", "table", "floor", "unknown_cat"]
+    objs = [1, 2, 0, 3, 4]
+    boxes7 = np.array([
+        [2.0, 0.5, 1.6, 0, 0, 0, 0.0],
+        [0.8, 0.7, 0.8, 1.5, 0, 1.5, 0.3],
+        [1, 1, 1, 0, 0, 0, 0],            # _scene_: skipped
+        [4, 0.1, 4, 0, 0, 0, 0],          # floor: skipped
+        [1, 1, 1, -1, 0, -1, 0],          # unknown: box fallback
+    ], np.float32)
+    mesh_dir = str(tmp_path / "meshes")
+    verts, tris, colors = assemble_scene_retrieval(
+        objs, boxes7, classes, db, mesh_dir=mesh_dir)
+    assert len(verts) and len(tris) == len(colors)
+    # floor plane (2) + two retrieved cubes (12 each) + fallback box (12)
+    assert len(tris) == 2 + 12 + 12 + 12
+    exported = os.listdir(mesh_dir)
+    assert any(e.startswith("bed_") for e in exported)
+    assert any(e.startswith("table_") for e in exported)
+
+    img = render_scene_retrieval(objs, boxes7, classes, db)
+    assert img.shape == (256, 256, 3) and img.dtype == np.uint8
+    assert (img != 255).any()   # something was drawn

@@ -6,6 +6,10 @@ import urllib.request
 import numpy as np
 import jax
 import pytest
+# Full-model jit compiles make this module multi-minute on one CPU
+# core; excluded from the fast default selection (pytest.ini addopts).
+pytestmark = pytest.mark.slow
+
 
 from echoscene_tpu.serve.service import GenerationService, request_to_example
 from echoscene_tpu.data.clip_text import ClipTextEncoder
@@ -88,6 +92,57 @@ def test_generate_batches_and_descale(service):
         assert len(r["angles"]) == 3
         assert np.isfinite(np.asarray(r["sizes"])).all()
         assert "sdfs" in r and r["sdf_shape"][0] == 3
+
+
+def test_manipulation_addition_keeps_untouched(service):
+    """generate -> add a node against the previous response: untouched
+    objects' boxes are spliced from the previous result (keep mask honored,
+    EchoScene.py:465-471 / eval_3dfront.py:192-202)."""
+    svc, ds = service
+    names = [n for n in ds.classes if n != "_scene_"]
+    preds = list(ds.rel_dict)
+    base = svc.generate([_request(ds, 20)])[0]
+    follow = {"previous": base["id"], "id": "q21",
+              "manipulation": {"type": "addition", "object": names[0],
+                               "triples": [[-1, preds[0], 0]]}}
+    out = svc.generate([follow])[0]
+    assert out["manipulation"] == "addition"
+    n_base = len(base["sizes"])
+    assert len(out["sizes"]) == n_base + 1
+    assert out["keep"][:n_base] == [1.0] * n_base
+    assert out["keep"][n_base] == 0.0
+    for j in range(n_base):
+        assert out["sizes"][j] == base["sizes"][j]
+        assert out["translations"][j] == base["translations"][j]
+        assert out["angles"][j] == base["angles"][j]
+    # the added node got fresh, finite predictions
+    assert np.isfinite(out["sizes"][n_base]).all()
+
+
+def test_manipulation_relationship_resamples_endpoints(service):
+    svc, ds = service
+    preds = [p for p in ds.rel_dict if ds.rel_dict[p] != 0]
+    base_req = _request(ds, 30)
+    base = svc.generate([base_req])[0]
+    new_pred = next(p for p in preds if p != base_req["triples"][0][1])
+    follow = {"previous": base["id"], "id": "q31",
+              "manipulation": {"type": "relationship", "index": 0,
+                               "predicate": new_pred}}
+    out = svc.generate([follow])[0]
+    assert out["manipulation"] == "relationship"
+    s, _, o = base_req["triples"][0]
+    assert out["keep"][s] == 0.0 and out["keep"][o] == 0.0
+    untouched = [j for j in range(len(base["sizes"])) if j not in (s, o)]
+    for j in untouched:
+        assert out["sizes"][j] == base["sizes"][j]
+
+
+def test_manipulation_unknown_previous_raises(service):
+    svc, ds = service
+    with pytest.raises(KeyError):
+        svc.generate([{"previous": "nope",
+                       "manipulation": {"type": "relationship", "index": 0,
+                                        "predicate": "left"}}])
 
 
 def test_http_round_trip(service):
