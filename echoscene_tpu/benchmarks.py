@@ -94,7 +94,10 @@ def time_generation(sg, state, batch, batch_scenes: int, n_iters: int = 3,
     import jax
 
     from .models.sgdiff import shape_row_capacity
-    rows = shape_row_capacity(batch)
+    # exact row count (multiple=1): the bench compiles one variant anyway,
+    # so it takes the full compaction win; serving keeps multiple=4 to bound
+    # the number of distinct compiled chain variants
+    rows = shape_row_capacity(batch, multiple=1)
     sample = jax.jit(
         lambda p, bs, b, k: sg.sample_fn(p, bs, b, k, gen_shape=gen_shape,
                                          shape_rows=rows))

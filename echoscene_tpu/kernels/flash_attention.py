@@ -70,24 +70,28 @@ def _stream_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
 
 
-def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _onepass_kernel(q_ref, k_ref, v_ref, o_ref):
     """Whole-K tile in VMEM; single-pass softmax.  Fastest when K fits —
     re-measured with input-varying + D2H timing (BASELINE.md timing trap):
     in a 20-step lax.scan at the 1024-token UNet3D site, one-pass 4.94 ms,
     streaming 5.12 ms, einsum 6.33 ms per step — the previously recorded
     "streaming regresses 4x in-scan" was a timing artifact; one-pass stays
-    the in-scan default because it is (slightly) fastest when K fits."""
+    the in-scan default because it is (slightly) fastest when K fits.
+
+    The D^-0.5 scale is folded into q by the caller, and the softmax
+    denominator is applied AFTER the AV matmul ((q_block, d_pad) elements
+    instead of (q_block, S) — ~S/d_pad fewer VPU ops)."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     scores = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
+                                 preferred_element_type=jnp.float32)
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
-    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32
-                                   ).astype(o_ref.dtype)
+    inv_l = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = (o * inv_l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("q_block",))
@@ -96,18 +100,26 @@ def _onepass_impl(q, k, v, q_block: int = 256):
     s = k.shape[1]
     scale = d ** -0.5
     d_pad = _round_up(d, 128)
-    q_block = min(q_block, _round_up(l, 8))
+    # Grow the q block to the largest size whose f32 score tile (+ bf16
+    # probs + q/k/v/out tiles) still fits VMEM: K/V are re-fetched from HBM
+    # once per q block per (b, h), so at the UNet3D 1024-token site a
+    # whole-L block cuts K/V traffic 4x vs the 256-row default.
+    budget = 8 * 1024 * 1024
+    q_block = max(q_block, budget // (s * 6))
+    q_block = min(_round_up(q_block, 8), _round_up(l, 8))
     l_pad = _round_up(l, q_block)
 
-    def prep(x, length, pad_len):
+    def prep(x, length, pad_len, mult=None):
         x = jnp.swapaxes(x, 1, 2).reshape(b * h, length, d)
+        if mult is not None:
+            x = x * jnp.asarray(mult, x.dtype)
         return jnp.pad(x, ((0, 0), (0, pad_len - length), (0, d_pad - d)))
 
-    qp = prep(q, l, l_pad)
+    qp = prep(q, l, l_pad, mult=scale)
     kp = prep(k, s, s)
     vp = prep(v, s, s)
     out = pl.pallas_call(
-        functools.partial(_onepass_kernel, scale=scale),
+        _onepass_kernel,
         grid=(b * h, l_pad // q_block),
         in_specs=[
             pl.BlockSpec((1, q_block, d_pad), lambda i, j: (i, j, 0),

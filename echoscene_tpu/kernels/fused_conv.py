@@ -10,8 +10,18 @@ per-(B, C) affine (w, b) OUTSIDE the kernel (one cheap XLA reduction — see
 
 in ONE pass over HBM: the normalize/activation/bias/residual elementwise
 passes all happen on VMEM-resident tiles, and the 27-tap conv runs as MXU
-matmuls accumulated in f32.  Halos are handled by static valid-region
-slicing per tap (no padded copy of x in HBM).
+matmuls accumulated in f32.  Halos are handled by an H/W zero-pad of x so
+each tap is a flat row-offset slice of the flattened activation.
+
+STATUS — experimental, OFF by default (ECHOSCENE_FUSED_CONV=1 to enable):
+measured on v5e, the original shifted-window form lost 7.8x to XLA's conv
+emitter (27 per-tap VMEM relayouts dominated), and this flat-offset form
+both compiles pathologically slowly under Mosaic (>14 min for the flagship
+16^3x224 shape) and pays (H+2)(W+2)/(HW) padded-MAC overhead — 27% at the
+16^3 level, 56% at (16,8,8), 125% at (16,4,4) — which exceeds the ~2 HBM
+elementwise passes the fusion saves.  XLA's conv (127 TFLOP/s measured,
+64% of v5e bf16 peak) plus its own producer fusion is the faster path;
+kept for interpret-mode-tested reference and future toolchains.
 
 Forward-only (generation has no backward); training keeps the flax path.
 """
@@ -66,60 +76,88 @@ def group_norm_affine(x: jnp.ndarray, groups: int, eps: float,
     return w, b_out
 
 
-def _pick_tiles(v: int, cin: int, cout: int) -> Tuple[int, int]:
-    """(TK, TN) channel tile sizes bounded by VMEM (weights 27*TK*TN bf16
-    double-buffered + x block + f32 accumulator must fit in ~16 MB)."""
+def _round128(c: int) -> int:
+    return -(-c // 128) * 128
+
+
+def _pick_tiles(v_out: int, v_pad: int, cinp: int, coutp: int
+                ) -> Tuple[int, int]:
+    """(TK, TN) channel tile sizes over the 128-PADDED channel dims.
+
+    Pallas TPU requires the last block dim to be a multiple of 128 (or the
+    full array dim); channels are padded to 128 multiples by the caller, so
+    tiles are 128-aligned divisors bounded by VMEM (double-buffered weights
+    + H/W-padded x chunk + flat f32 accumulator + output block must fit)."""
     def fits(tk, tn):
         w_bytes = 27 * tk * tn * 2 * 2          # double-buffered bf16
-        x_bytes = v * tk * 2 * 2
-        acc_bytes = v * tn * 4
-        out_bytes = v * tn * 2 * 2
-        return w_bytes + x_bytes + acc_bytes + out_bytes < 13 * 1024 * 1024
+        x_bytes = v_pad * tk * 2 * 2
+        acc_bytes = v_pad * tn * 4
+        out_bytes = v_out * tn * 2 * 2
+        res_bytes = v_out * tn * 2 * 2
+        stack_bytes = v_pad * tk * 6            # activation temporaries
+        return (w_bytes + x_bytes + acc_bytes + out_bytes + res_bytes
+                + stack_bytes) < 14 * 1024 * 1024
 
-    divisors = lambda c, cap: [d for d in range(1, min(c, cap) + 1)
-                               if c % d == 0]
-    tn = divisors(cout, 256)[-1]
-    for tk in reversed(divisors(cin, cin)):
-        if fits(tk, tn):
-            return tk, tn
-    return 1, tn
+    cands_n = [d for d in range(128, coutp + 1, 128) if coutp % d == 0]
+    cands_k = [d for d in range(128, cinp + 1, 128) if cinp % d == 0]
+    for tn in reversed(cands_n):
+        for tk in reversed(cands_k):
+            if fits(tk, tn):
+                return tk, tn
+    return 128, 128
 
 
 def _conv_kernel(x_ref, w_ref, gnw_ref, gnb_ref, bias_ref, res_ref, out_ref,
                  acc_ref, *, D, H, W, TK, TN, n_k, activate, has_residual,
                  out_dtype):
+    """x_ref block is spatially H/W-padded: (1, D, H+2, W+2, TK).
+
+    The 27 taps run as CONTIGUOUS row-slice matmuls over the flattened
+    (D*(H+2)*(W+2), TK) activation: with zero padding on H/W, a tap offset
+    (od, oh, ow) is the single flat row offset od*Hp*Wp + oh*Wp + ow —
+    H/W border wraps land in the padding rows (sliced off at the end), and
+    D border rows are trimmed by the slice bounds.  This costs
+    Hp*Wp/(H*W) extra MACs but avoids any per-tap relayout (the naive
+    shifted-window formulation spent ~8x the matmul time on VPU copies).
+    """
     k = pl.program_id(2)
+    Hp, Wp = H + 2, W + 2
+    R = D * Hp * Wp
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    xb = x_ref[0].astype(jnp.float32)                      # (D, H, W, TK)
+    xb = x_ref[0].astype(jnp.float32)                      # (D, Hp, Wp, TK)
     if activate:
-        xa = xb * gnw_ref[0][None, None, None, :] + \
-            gnb_ref[0][None, None, None, :]
+        xa = xb * gnw_ref[0, 0][None, None, None, :] + \
+            gnb_ref[0, 0][None, None, None, :]
         xa = xa * jax.nn.sigmoid(xa)
+        # padding rows must stay zero after the affine (their gn bias is
+        # real): silu(b) != 0 — mask them back out so they contribute
+        # nothing to the conv
+        hh = jax.lax.broadcasted_iota(jnp.int32, (D, Hp, Wp, 1), 1)
+        ww = jax.lax.broadcasted_iota(jnp.int32, (D, Hp, Wp, 1), 2)
+        interior = ((hh >= 1) & (hh <= H) & (ww >= 1) & (ww <= W))
+        xa = jnp.where(interior, xa, 0.0)
     else:
         xa = xb
-    xa = xa.astype(jnp.bfloat16)
+    xa_flat = xa.astype(jnp.bfloat16).reshape(R, TK)       # one relayout
 
     for tap in range(27):
         od, oh, ow = tap // 9 - 1, (tap // 3) % 3 - 1, tap % 3 - 1
-        # valid output region for this tap offset: out[v] += x[v + o]
-        d0, d1 = max(0, -od), D - max(0, od)
-        h0, h1 = max(0, -oh), H - max(0, oh)
-        w0, w1 = max(0, -ow), W - max(0, ow)
-        xs = xa[d0 + od:d1 + od, h0 + oh:h1 + oh, w0 + ow:w1 + ow, :]
-        dd, hh, ww = d1 - d0, h1 - h0, w1 - w0
+        off = od * Hp * Wp + oh * Wp + ow
+        r0, r1 = max(0, -off), R - max(0, off)
         contrib = jax.lax.dot_general(
-            xs.reshape(dd * hh * ww, TK), w_ref[tap],
+            xa_flat[r0 + off:r1 + off], w_ref[tap],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).reshape(dd, hh, ww, TN)
-        acc_ref[d0:d1, h0:h1, w0:w1, :] += contrib
+            preferred_element_type=jnp.float32)
+        acc_ref[r0:r1, :] += contrib
 
     @pl.when(k == n_k - 1)
     def _():
-        y = acc_ref[...] + bias_ref[0][None, None, None, :]
+        y = acc_ref[...].reshape(D, Hp, Wp, TN)[:, 1:H + 1, 1:W + 1, :]
+        y = y + bias_ref[0, 0][None, None, None, :]
         if has_residual:
             y = y + res_ref[0].astype(jnp.float32)
         out_ref[0] = y.astype(out_dtype)
@@ -144,30 +182,56 @@ def conv3d_gn_silu(x: jnp.ndarray, gn_w: jnp.ndarray, gn_b: jnp.ndarray,
     cout = kernel.shape[-1]
     assert kernel.shape[:3] == (3, 3, 3), kernel.shape
     out_dtype = jnp.bfloat16
-    tk, tn = _pick_tiles(D * H * W, cin, cout)
-    n_k, n_j = cin // tk, cout // tn
-    w27 = kernel.astype(jnp.bfloat16).reshape(27, cin, cout)
+
+    # pad channels to 128 multiples (Pallas TPU lane-dim block constraint;
+    # the MXU pads to this granularity internally anyway).  Padded input
+    # channels carry zero gn affine -> silu(0)=0 -> contribute nothing;
+    # padded output channels are sliced off.
+    cinp, coutp = _round128(cin), _round128(cout)
+    Hp, Wp = H + 2, W + 2
+    x = x.astype(jnp.bfloat16)
+    if residual is not None:
+        residual = residual.astype(jnp.bfloat16)
+    if cinp != cin:
+        x = jnp.pad(x, [(0, 0)] * 4 + [(0, cinp - cin)])
+        gn_w = jnp.pad(gn_w, [(0, 0), (0, cinp - cin)])
+        gn_b = jnp.pad(gn_b, [(0, 0), (0, cinp - cin)])
+        kernel = jnp.pad(kernel, [(0, 0)] * 3 + [(0, cinp - cin), (0, 0)])
+    if coutp != cout:
+        kernel = jnp.pad(kernel, [(0, 0)] * 4 + [(0, coutp - cout)])
+        bias = jnp.pad(bias, [(0, coutp - cout)])
+    # spatial H/W zero-pad (one row/col each side) so the 27 taps become
+    # contiguous flat row slices inside the kernel; the pad is a cheap XLA
+    # copy that typically fuses with x's producer
+    x = jnp.pad(x, [(0, 0), (0, 0), (1, 1), (1, 1), (0, 0)])
+    tk, tn = _pick_tiles(D * H * W, D * Hp * Wp, cinp, coutp)
+    n_k, n_j = cinp // tk, coutp // tn
+    w27 = kernel.astype(jnp.bfloat16).reshape(27, cinp, coutp)
 
     has_res = residual is not None
+    if has_res and coutp != cout:
+        residual = jnp.pad(residual, [(0, 0)] * 4 + [(0, coutp - cout)])
     res = residual if has_res else jnp.zeros((B, 1, 1, 1, tn), out_dtype)
 
     body = functools.partial(
         _conv_kernel, D=D, H=H, W=W, TK=tk, TN=tn, n_k=n_k,
         activate=activate, has_residual=has_res, out_dtype=out_dtype)
 
-    return pl.pallas_call(
+    y = pl.pallas_call(
         body,
         grid=(B, n_j, n_k),
         in_specs=[
-            pl.BlockSpec((1, D, H, W, tk), lambda b, j, k: (b, 0, 0, 0, k),
+            pl.BlockSpec((1, D, Hp, Wp, tk), lambda b, j, k: (b, 0, 0, 0, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((27, tk, tn), lambda b, j, k: (0, k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk), lambda b, j, k: (b, k),
+            # per-(B, C) vectors are replicated over an 8-sublane axis so
+            # their blocks satisfy the (8, 128) TPU tiling constraint
+            pl.BlockSpec((1, 8, tk), lambda b, j, k: (b, 0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk), lambda b, j, k: (b, k),
+            pl.BlockSpec((1, 8, tk), lambda b, j, k: (b, 0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda b, j, k: (0, j),
+            pl.BlockSpec((1, 8, tn), lambda b, j, k: (0, 0, j),
                          memory_space=pltpu.VMEM),
             (pl.BlockSpec((1, D, H, W, tn), lambda b, j, k: (b, 0, 0, 0, j),
                           memory_space=pltpu.VMEM) if has_res else
@@ -177,11 +241,17 @@ def conv3d_gn_silu(x: jnp.ndarray, gn_w: jnp.ndarray, gn_b: jnp.ndarray,
         out_specs=pl.BlockSpec((1, D, H, W, tn),
                                lambda b, j, k: (b, 0, 0, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, D, H, W, cout), out_dtype),
-        scratch_shapes=[pltpu.VMEM((D, H, W, tn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, D, H, W, coutp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((D * Hp * Wp, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, w27, gn_w.astype(jnp.float32), gn_b.astype(jnp.float32),
-      bias.astype(jnp.float32).reshape(1, cout), res)
+    )(x, w27,
+      jnp.broadcast_to(gn_w.astype(jnp.float32)[:, None, :], (B, 8, cinp)),
+      jnp.broadcast_to(gn_b.astype(jnp.float32)[:, None, :], (B, 8, cinp)),
+      jnp.broadcast_to(bias.astype(jnp.float32)[None, None, :],
+                       (1, 8, coutp)), res)
+    return y[..., :cout] if coutp != cout else y
 
 
 def conv3d_gn_silu_reference(x, gn_w, gn_b, kernel, bias, residual=None,

@@ -115,13 +115,17 @@ class SGDiff:
             # has none, so drop the nn.remat wrappers from the twin
             infer_cfg.layout_denoiser.use_checkpoint = False
             infer_cfg.shape_branch.denoiser.use_checkpoint = False
-            # Pallas fused GN+SiLU+conv3d ResBlocks on the TPU bf16 path
-            # (the kernel is forward-only and bf16-out; int8 keeps Int8Conv).
-            # ECHOSCENE_NO_FUSED_CONV=1 disables it for A/B benchmarking.
+            # Pallas fused GN+SiLU+conv3d ResBlocks (kernels/fused_conv.py)
+            # stay OPT-IN (ECHOSCENE_FUSED_CONV=1): measured on v5e, the
+            # shifted-window form lost 7.8x to XLA's conv (27 per-tap VMEM
+            # relayouts) and the flat-offset redesign both hangs the Mosaic
+            # compile and pays 27-125% padded-MAC overhead per level — XLA's
+            # conv emitter (127 TFLOP/s measured) + its own elementwise
+            # fusion is the faster path on current toolchains.
             import os as _os
             if (cfg.sample_dtype == "bfloat16"
                     and jax.default_backend() != "cpu"
-                    and not _os.environ.get("ECHOSCENE_NO_FUSED_CONV")):
+                    and _os.environ.get("ECHOSCENE_FUSED_CONV")):
                 infer_cfg.shape_branch.denoiser.fused_conv = True
             self.module_infer = EchoSceneModule(infer_cfg, num_objs=num_objs,
                                                 num_preds=num_preds)
@@ -378,18 +382,24 @@ class SGDiff:
                     shape_denoise, (m, r, r, r, zc), k_shape,
                     self.ddim_tables, x_T=x_T)
             # chunked VQ decode to bound memory (64^3 output grids); the
-            # chunk adapts downward so compacted row counts (multiples of 4)
-            # still take the bounded-memory path
-            decode_chunk = next(c for c in (decode_chunk, 4, 2, 1)
-                                if m % c == 0)
-            if m > decode_chunk:
-                zc_ = z0.reshape(m // decode_chunk, decode_chunk, *z0.shape[1:])
+            # latent rows are zero-padded up to a chunk multiple so the chain
+            # row count m can be EXACT (no multiple-of-4 rounding tax on the
+            # 100-step chain) while the decode still runs well-shaped chunks
+            mp = -(-m // decode_chunk) * decode_chunk
+            if mp > m:
+                z0 = jnp.concatenate(
+                    [z0, jnp.zeros((mp - m,) + z0.shape[1:], z0.dtype)], 0)
+            if mp > decode_chunk:
+                zc_ = z0.reshape(mp // decode_chunk, decode_chunk,
+                                 *z0.shape[1:])
                 sdf = jax.lax.map(lambda z: self.module_infer.apply(
                     variables, z, method=EchoSceneModule.decode_latent), zc_)
-                sdf = sdf.reshape(m, *sdf.shape[2:])
+                sdf = sdf.reshape(mp, *sdf.shape[2:])
             else:
                 sdf = self.module_infer.apply(variables, z0,
                                         method=EchoSceneModule.decode_latent)
+            if mp > m:
+                sdf = sdf[:m]
             if m < n:
                 sdf = jnp.concatenate(
                     [sdf, jnp.zeros((n - m,) + sdf.shape[1:], sdf.dtype)], 0)

@@ -65,6 +65,24 @@ class CrossAttention(nn.Module):
     def __call__(self, x, context=None, mask=None, *, deterministic: bool = True):
         h, d = self.heads, self.dim_head
         inner = h * d
+        # Single-key cross-attention is an exact identity: softmax over one
+        # key is 1.0 regardless of q/k, so out == to_out(to_v(ctx)) broadcast
+        # over the query tokens.  The echo conditioning is exactly this case
+        # (context = one relation latent per object, openai_model_3d.py:843),
+        # so the q/k projections and the per-token out projection are dead
+        # compute at every denoising step.  Init still traces the full path
+        # so the parameter tree is identical.
+        if (context is not None and context.shape[1] == 1 and mask is None
+                and not self.is_initializing()):
+            v = dense(inner, use_bias=False, dtype=self.dtype,
+                      name="to_v")(context)
+            out = dense(self.query_dim, dtype=self.dtype, name="to_out")(v)
+            out = jnp.broadcast_to(out, (x.shape[0], x.shape[1],
+                                         self.query_dim))
+            if self.dropout > 0:
+                out = nn.Dropout(self.dropout)(out,
+                                               deterministic=deterministic)
+            return out
         context = x if context is None else context
         q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)

@@ -88,8 +88,10 @@ def test_fused_conv_gn_silu_matches_reference(rng):
     with pltpu.force_tpu_interpret_mode():
         out = conv3d_gn_silu(x, gw, gb, kern, cb, residual=res,
                              interpret=True)
+    # kernel casts x to bf16 before the affine (the sampling-path dtype);
+    # reference applies the affine in f32 -> one-ulp bf16 differences
     np.testing.assert_allclose(np.asarray(out, np.float32),
-                               np.asarray(ref, np.float32), atol=3e-2)
+                               np.asarray(ref, np.float32), atol=5e-2)
     # no-activation / no-residual path
     ref2 = conv3d_gn_silu_reference(x, gw, gb, kern, cb, activate=False)
     with pltpu.force_tpu_interpret_mode():
@@ -123,9 +125,13 @@ def test_group_norm_affine_matches_group_norm_fast(rng):
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_resblock_path_matches_plain(rng):
     """ShapeDenoiser(fused_conv=True) resolves the SAME param tree as the
-    plain path and produces matching outputs (bf16 tolerance)."""
+    plain path and produces matching outputs (bf16 tolerance).
+
+    Slow: the kernel's 128-channel padding makes interpret mode ~64x the
+    work at these tiny dims (~2.5 min on this image's CPU)."""
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
     from echoscene_tpu.nn.unet3d import ShapeDenoiser
@@ -154,3 +160,25 @@ def test_fused_resblock_path_matches_plain(rng):
                           triple_mask=tm)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=5e-2)
+
+
+def test_single_token_cross_attention_shortcut(rng):
+    """Cross-attention to a ONE-token context (the echo conditioning case)
+    short-circuits to to_out(to_v(ctx)) broadcast — exactly softmax-over-one-
+    key attention; param tree unchanged (to_q/to_k still created at init)."""
+    import jax.numpy as jnp
+    from echoscene_tpu.nn.attention import CrossAttention
+
+    ca = CrossAttention(query_dim=16, context_dim=12, heads=2, dim_head=8)
+    x = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(2, 1, 12)).astype(np.float32))
+    params = ca.init(jax.random.PRNGKey(0), x, ctx)
+    assert {"to_q", "to_k", "to_v", "to_out"} <= set(params["params"])
+    out = ca.apply(params, x, ctx)
+    # manual single-key attention: weights are 1.0 -> out = to_out(v)
+    v = ctx[:, 0] @ params["params"]["to_v"]["kernel"]
+    want = v @ params["params"]["to_out"]["kernel"] + \
+        params["params"]["to_out"]["bias"]
+    np.testing.assert_allclose(np.asarray(out),
+                               np.broadcast_to(want[:, None], out.shape),
+                               atol=1e-5)
