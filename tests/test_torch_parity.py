@@ -127,8 +127,22 @@ def test_vqvae_parity(rng):
     _, _, idx_j = jm.apply({"params": params}, z_j,
                            method=lambda m, z: m.quantize(z))
     idx_j = np.asarray(idx_j).reshape(-1)
-    agree = (idx_j == idx_t.numpy().reshape(-1)).mean()
+    idx_tn = idx_t.numpy().reshape(-1)
+    agree = (idx_j == idx_tn).mean()
     assert agree > 0.995, agree
+
+    # the <0.5% disagreements are TIES, not drift (VERDICT r1 weak #7):
+    # wherever the two implementations picked different codes, the two
+    # codes' L2 distances to the latent are equal within f32 rounding —
+    # an argmin tie-flip, harmless through decode (either code is a
+    # nearest neighbor), not a compounding latent deviation.
+    emb = np.asarray(params["quantize"]["embedding"])      # (n_embed, 3)
+    zf = np.asarray(z_j, np.float32).reshape(-1, emb.shape[1])
+    dis = np.nonzero(idx_j != idx_tn)[0]
+    if dis.size:
+        d_j = ((zf[dis] - emb[idx_j[dis]]) ** 2).sum(-1)
+        d_t = ((zf[dis] - emb[idx_tn[dis]]) ** 2).sum(-1)
+        np.testing.assert_allclose(d_j, d_t, rtol=1e-3, atol=1e-6)
 
 
 def test_layout_denoiser_parity(rng):
