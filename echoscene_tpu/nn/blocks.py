@@ -41,7 +41,8 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int,
 
 
 def group_norm_fast(x: jnp.ndarray, groups: int, epsilon: float,
-                    scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+                    scale: jnp.ndarray, bias: jnp.ndarray,
+                    shift: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Channel-last GroupNorm with TPU-friendly reductions.
 
     The naive formulation reshapes to (..., G, C/G) and reduces over a tiny
@@ -50,6 +51,14 @@ def group_norm_fast(x: jnp.ndarray, groups: int, epsilon: float,
     SPATIAL axes with C kept minor (fully laned), then group aggregation
     happens on the tiny (B, C) moment arrays.  Statistics in f32; one fused
     elementwise normalise pass in the input dtype.
+
+    `shift`, a per-(B, C) channel bias, computes GN(x + shift) WITHOUT
+    materialising x + shift: constant over space, it moves the moments
+    analytically (E[(x+s)] = E[x] + s; E[(x+s)^2] = E[x^2] + 2 s E[x] + s^2)
+    and folds back into the output affine.  This is the ResBlock
+    time-embedding add — skipping the materialisation saves a full HBM
+    write+read of the activation per ResBlock on both train and sample
+    paths (the value is bit-equivalent up to f32 summation order).
     """
     *lead, c = x.shape
     b = x.shape[0]
@@ -60,6 +69,10 @@ def group_norm_fast(x: jnp.ndarray, groups: int, epsilon: float,
     xf = x.astype(jnp.float32)
     s1 = jnp.sum(xf, axis=spatial_axes)            # (B, C)
     s2 = jnp.sum(xf * xf, axis=spatial_axes)       # (B, C)
+    if shift is not None:
+        sh = shift.reshape(b, c).astype(jnp.float32)
+        s2 = s2 + 2.0 * sh * s1 + n_spatial * sh * sh
+        s1 = s1 + n_spatial * sh
     cg = c // groups
     n = n_spatial * cg
     s1g = s1.reshape(b, groups, cg).sum(-1)        # (B, G)
@@ -72,6 +85,8 @@ def group_norm_fast(x: jnp.ndarray, groups: int, epsilon: float,
     inv_c = jnp.repeat(inv, cg, axis=1)
     w = inv_c * scale[None, :]                     # (B, C)
     b_ = bias[None, :] - mean_c * w
+    if shift is not None:
+        b_ = b_ + sh * w
     shape = (b,) + (1,) * len(spatial_axes) + (c,)
     return (xf * w.reshape(shape) + b_.reshape(shape)).astype(x.dtype)
 
@@ -86,14 +101,15 @@ class GroupNorm32(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, shift=None):
         c = x.shape[-1]
         groups = min(self.num_groups, c)
         while c % groups:
             groups -= 1
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm_fast(x, groups, self.epsilon, scale, bias)
+        return group_norm_fast(x, groups, self.epsilon, scale, bias,
+                               shift=shift)
 
 
 def zero_init_conv(features: int, kernel: Sequence[int], **kw) -> nn.Conv:
@@ -230,8 +246,9 @@ class ResBlock(nn.Module):
             h = GroupNorm32()(h) * (1 + scale) + shift
             h = nn.silu(h)
         else:
-            h = h + emb_out
-            h = GroupNorm32()(h)
+            # GN(h + emb) via the analytic channel-shift (group_norm_fast
+            # docstring): h + emb is never materialised in HBM
+            h = GroupNorm32()(h, shift=emb_out)
             h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
