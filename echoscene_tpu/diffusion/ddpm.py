@@ -256,14 +256,22 @@ class LayoutDiffusion:
 
     # --- sampling --------------------------------------------------------
     def sample_chain(self, denoise_fn, shape: Tuple[int, ...], rng: jax.Array,
-                     clip_denoised: bool = False) -> jnp.ndarray:
+                     clip_denoised: bool = False,
+                     noise_rows: Optional[int] = None) -> jnp.ndarray:
         """Full T-step ancestral sampling as one lax.scan.
 
         denoise_fn(x_t, t_vec) -> model output (eps or x0 depending on
         parameterisation).  Matches p_sample_loop_sg (:330-345).
+
+        noise_rows: when the chain runs over a compacted row prefix (rows
+        < full batch), drawing noise at `noise_rows` rows and slicing keeps
+        each row's noise realisation IDENTICAL to the uncompacted chain —
+        compaction stays bit-exact per real row.
         """
+        nr = shape[0] if noise_rows is None else max(noise_rows, shape[0])
+        nshape = (nr,) + shape[1:]
         rng, init_rng = jax.random.split(rng)
-        x_T = jax.random.normal(init_rng, shape)
+        x_T = jax.random.normal(init_rng, nshape)[:shape[0]]
 
         def step(carry, t_scalar):
             x, key = carry
@@ -278,7 +286,7 @@ class LayoutDiffusion:
                 x_recon = jnp.clip(x_recon, -1.0, 1.0)
             mean = self.q_posterior_mean(x_recon, x, t_vec)
             logvar = self.model_log_variance(t_vec, x.ndim)
-            noise = jax.random.normal(nkey, x.shape, x.dtype)
+            noise = jax.random.normal(nkey, nshape, x.dtype)[:shape[0]]
             nonzero = (t_scalar > 0).astype(x.dtype)
             x_next = mean + nonzero * jnp.exp(0.5 * logvar) * noise
             return (x_next, key), None
@@ -308,11 +316,12 @@ class LayoutDiffusion:
 
     def sample_chain_fast(self, denoise_fn, shape: Tuple[int, ...],
                           rng: jax.Array, tables: DDIMTables,
-                          method: str = "ddim") -> jnp.ndarray:
+                          method: str = "ddim",
+                          x_T: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Few-step layout sampling (eps parameterisation only)."""
         assert self.model_mean_type == "eps", self.model_mean_type
         from .samplers import CHAINS
-        return CHAINS[method](denoise_fn, shape, rng, tables)
+        return CHAINS[method](denoise_fn, shape, rng, tables, x_T=x_T)
 
     @staticmethod
     def split_sample(vec8: jnp.ndarray) -> Dict[str, jnp.ndarray]:

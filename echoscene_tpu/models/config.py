@@ -73,6 +73,9 @@ class ShapeDenoiserConfig:
     # (kernels/fused_conv.py); enabled automatically on TPU for bf16
     # sampling (SGDiff builds the inference twin with it)
     fused_conv: bool = False
+    # sampling-only Winograd F(2,3)^3 3x3x3 convs (kernels/winograd.py);
+    # set on the inference twin via EchoSceneConfig.sample_conv
+    winograd: bool = False
     # LDM schedule (model.params in sdfusion yaml)
     linear_start: float = 0.00085
     linear_end: float = 0.012
@@ -142,6 +145,11 @@ class EchoSceneConfig:
                                            # (int8 = experimental W8A8 shape-UNet
                                            # convs, ~1.3x conv speedup on v5e);
                                            # chain/posterior math stays f32
+    sample_conv: str = "direct"            # 3x3x3 conv algorithm in the shape
+                                           # UNet sampling path: 'direct' (XLA
+                                           # conv emitter) | 'winograd'
+                                           # (F(2,3)^3, kernels/winograd.py —
+                                           # 3.375x fewer MACs, same math)
 
 
 def _tuple(x):

@@ -104,6 +104,7 @@ class EchoSceneModule(nn.Module):
                 enable_t_emb=sd.enable_t_emb,
                 use_checkpoint=sd.use_checkpoint,
                 fused_conv=getattr(sd, "fused_conv", False),
+                winograd=getattr(sd, "winograd", False),
                 num_preds=16, dtype=dtype)
             vq = cfg.shape_branch.vqvae
             self.vqvae = VQVAE(
@@ -184,16 +185,28 @@ class EchoSceneModule(nn.Module):
     # ------------------------------------------------------------------
     def layout_eps(self, box_t: jnp.ndarray, t: jnp.ndarray,
                    obj_embed: jnp.ndarray, batch: SceneBatch,
-                   *, train: bool = False) -> jnp.ndarray:
+                   *, train: bool = False,
+                   triples: Optional[jnp.ndarray] = None,
+                   obj_mask: Optional[jnp.ndarray] = None,
+                   triple_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """One denoiser evaluation for the layout branch.
 
         obj_embed is the UNconditioned stream (uc_b = raw embedding+CLIP);
         the conditioned stream is unused by the mp denoiser (its cross-attn
         context is replaced by the echo latent, denoise_net.py:791-792).
+
+        triples/obj_mask/triple_mask default to the decoder view; the
+        compacted sampling chain passes prefix-clipped overrides (the same
+        remap select_shape_subbatch applies for training) so the 1000-step
+        chain runs only over real node slots.
         """
+        if triples is None:
+            triples = batch.dec.triples
+            obj_mask = batch.dec.obj_mask
+            triple_mask = batch.dec.triple_mask
         return self.layout_denoiser(
-            box_t, obj_embed, batch.dec.triples, t,
-            obj_mask=batch.dec.obj_mask, triple_mask=batch.dec.triple_mask,
+            box_t, obj_embed, triples, t,
+            obj_mask=obj_mask, triple_mask=triple_mask,
             train=train)
 
     def shape_eps(self, z_t: jnp.ndarray, t: jnp.ndarray,

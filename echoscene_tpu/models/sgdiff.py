@@ -127,6 +127,8 @@ class SGDiff:
                     and jax.default_backend() != "cpu"
                     and _os.environ.get("ECHOSCENE_FUSED_CONV")):
                 infer_cfg.shape_branch.denoiser.fused_conv = True
+            if getattr(cfg, "sample_conv", "direct") == "winograd":
+                infer_cfg.shape_branch.denoiser.winograd = True
             self.module_infer = EchoSceneModule(infer_cfg, num_objs=num_objs,
                                                 num_preds=num_preds)
         else:
@@ -326,20 +328,51 @@ class SGDiff:
             splice = False
         ctx = self._context(variables, batch, change, splice)
 
+        # Both sampling chains run over a compacted row prefix: nodes are
+        # scene-major with all padding at the global tail (core/graphbatch.py),
+        # so clipping triple endpoints into [0, m) and masking edges that
+        # would touch a dropped slot is exact — real triples only reference
+        # real nodes, all of which live in the prefix (select_shape_subbatch
+        # applies the same remap for training).
+        m = n if shape_rows is None else min(int(shape_rows), n)
+        if m < n:
+            s, o = batch.dec.triples[:, 0], batch.dec.triples[:, 2]
+            tri_mask = (batch.dec.triple_mask
+                        * (s < m).astype(jnp.float32)
+                        * (o < m).astype(jnp.float32))
+            triples = jnp.stack([jnp.minimum(s, m - 1),
+                                 batch.dec.triples[:, 1],
+                                 jnp.minimum(o, m - 1)], axis=1)
+            obj_mask = batch.dec.obj_mask[:m]
+        else:
+            triples, tri_mask = batch.dec.triples, batch.dec.triple_mask
+            obj_mask = batch.dec.obj_mask
+
         def box_denoise(x, t):
             return self.module_infer.apply(
-                variables, x, t, ctx["obj_embed"], batch,
-                method=EchoSceneModule.layout_eps)
+                variables, x, t, ctx["obj_embed"][:m], batch,
+                method=EchoSceneModule.layout_eps,
+                triples=triples, obj_mask=obj_mask, triple_mask=tri_mask)
 
-        box_shape = (n, self.cfg.layout_denoiser.in_channels)
+        box_shape = (m, self.cfg.layout_denoiser.in_channels)
         lc = self.cfg.layout_diffusion
         if lc.sampler == "ddpm":
+            # noise_rows=n keeps every row's noise realisation identical to
+            # the uncompacted chain — compaction is bit-exact per real row
             vec8 = self.layout_diff.sample_chain(
-                box_denoise, box_shape, k_box, clip_denoised=False)
+                box_denoise, box_shape, k_box, clip_denoised=False,
+                noise_rows=n)
         else:
+            k_box, k_init = jax.random.split(k_box)
+            x_T = jax.random.normal(
+                k_init, (n, self.cfg.layout_denoiser.in_channels))[:m]
             vec8 = self.layout_diff.sample_chain_fast(
                 box_denoise, box_shape, k_box,
-                self.layout_fast_tables[lc.sampler], method=lc.sampler)
+                self.layout_fast_tables[lc.sampler], method=lc.sampler,
+                x_T=x_T)
+        if m < n:
+            vec8 = jnp.concatenate(
+                [vec8, jnp.zeros((n - m, vec8.shape[1]), vec8.dtype)], 0)
         out = dict(self.layout_diff.split_sample(vec8))
         out["keep"] = 1.0 - batch.change_flags
 
@@ -347,25 +380,7 @@ class SGDiff:
             sd_cfg = self.cfg.shape_branch
             r = sd_cfg.denoiser.image_size
             zc = sd_cfg.vqvae.embed_dim
-            m = n if shape_rows is None else min(int(shape_rows), n)
             uc_s = ctx["uc_s"][:m, None, :]
-            if m < n:
-                # compacted chain: clip triple endpoints into [0, m) and mask
-                # out any edge that would touch a dropped (padded) slot —
-                # real triples only reference real nodes, all of which live
-                # in the prefix, so this is exact (select_shape_subbatch
-                # applies the same remap for training)
-                s, o = batch.dec.triples[:, 0], batch.dec.triples[:, 2]
-                tri_mask = (batch.dec.triple_mask
-                            * (s < m).astype(jnp.float32)
-                            * (o < m).astype(jnp.float32))
-                triples = jnp.stack([jnp.minimum(s, m - 1),
-                                     batch.dec.triples[:, 1],
-                                     jnp.minimum(o, m - 1)], axis=1)
-                obj_mask = batch.dec.obj_mask[:m]
-            else:
-                triples, tri_mask = batch.dec.triples, batch.dec.triple_mask
-                obj_mask = batch.dec.obj_mask
 
             def shape_denoise(z, t):
                 return self.module_infer.apply(

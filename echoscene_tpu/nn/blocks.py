@@ -119,8 +119,40 @@ def zero_init_conv(features: int, kernel: Sequence[int], **kw) -> nn.Conv:
                    bias_init=nn.initializers.zeros, **kw)
 
 
+class WinogradConv3d(nn.Module):
+    """Parameter-compatible nn.Conv replacement computing the stride-1 SAME
+    3x3x3 convolution via Winograd F(2,3)^3 (kernels/winograd.py): 3.375x
+    fewer MACs, all stages MXU matmuls.  Same param names/shapes/init as
+    nn.Conv ('kernel' (3,3,3,C,K), 'bias' (K,)) so one param tree serves
+    both implementations.  Spatial dims must be even (all UNet3D levels are:
+    16/8/4); sampling-path only (no special backward)."""
+    features: int
+    zero: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..kernels.winograd import winograd_conv3d
+        c = x.shape[-1]
+        init_k = (nn.initializers.zeros if self.zero
+                  else nn.initializers.lecun_normal())
+        kernel = self.param("kernel", init_k, (3, 3, 3, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        adt = act_dtype(self.dtype) or x.dtype
+        return winograd_conv3d(x.astype(adt), kernel, bias)
+
+
+# flax auto-names unnamed submodules from the class name; the Winograd conv
+# substitutes for nn.Conv so it must land in the same 'Conv_i' scopes for the
+# shared param tree to resolve (same pattern as quant.ScopedInt8Conv)
+ScopedWinogradConv = type(
+    "Conv", (WinogradConv3d,),
+    {"__doc__": "WinogradConv3d under the 'Conv' flax scope name."})
+
+
 def _conv(features: int, spatial_rank: int, stride=1, kernel: int = 3,
-          zero: bool = False, dtype=None, name=None) -> nn.Module:
+          zero: bool = False, dtype=None, name=None,
+          winograd: bool = False) -> nn.Module:
     ks = (kernel,) * spatial_rank
     strides = stride if isinstance(stride, tuple) else (stride,) * spatial_rank
     padding = [(kernel // 2, kernel // 2)] * spatial_rank
@@ -132,6 +164,10 @@ def _conv(features: int, spatial_rank: int, stride=1, kernel: int = 3,
         return ScopedInt8Conv(features=features, kernel_size=ks,
                               strides=strides, padding=padding, name=name,
                               **init)
+    if (winograd and spatial_rank == 3 and kernel == 3
+            and strides == (1, 1, 1)):
+        return ScopedWinogradConv(features=features, zero=zero, dtype=dtype,
+                                  name=name)
     return nn.Conv(features, kernel_size=ks, strides=strides,
                    padding=padding, dtype=dtype, name=name, **init)
 
@@ -146,6 +182,7 @@ class Upsample(nn.Module):
     spatial_rank: int
     use_conv: bool = True
     dtype: Optional[jnp.dtype] = None
+    winograd: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -156,7 +193,8 @@ class Upsample(nn.Module):
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         # rank 1: identity (reference quirk, denoise_net.py:154)
         if self.use_conv:
-            x = _conv(self.channels, self.spatial_rank, dtype=self.dtype)(x)
+            x = _conv(self.channels, self.spatial_rank, dtype=self.dtype,
+                      winograd=self.winograd)(x)
         return x
 
 
@@ -225,6 +263,7 @@ class ResBlock(nn.Module):
     dropout: float = 0.0
     use_scale_shift_norm: bool = False
     fused: bool = False       # sampling-only Pallas GN+SiLU+conv3d fusion
+    winograd: bool = False    # sampling-only Winograd F(2,3)^3 3x3x3 convs
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -235,7 +274,8 @@ class ResBlock(nn.Module):
             return self._fused(x, emb, out_ch)
         h = GroupNorm32()(x)
         h = nn.silu(h)
-        h = _conv(out_ch, self.spatial_rank, dtype=self.dtype)(h)
+        h = _conv(out_ch, self.spatial_rank, dtype=self.dtype,
+                  winograd=self.winograd)(h)
 
         emb_out = nn.Dense(2 * out_ch if self.use_scale_shift_norm else out_ch,
                            dtype=act_dtype(self.dtype))(nn.silu(emb))
@@ -252,7 +292,8 @@ class ResBlock(nn.Module):
             h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = _conv(out_ch, self.spatial_rank, zero=True, dtype=self.dtype)(h)
+        h = _conv(out_ch, self.spatial_rank, zero=True, dtype=self.dtype,
+                  winograd=self.winograd)(h)
 
         if out_ch == self.channels:
             skip = x

@@ -46,6 +46,7 @@ class ShapeDenoiser(nn.Module):
     enable_t_emb: bool = True
     use_checkpoint: bool = False
     fused_conv: bool = False
+    winograd: bool = False
     dropout: float = 0.0
     gconv_dim: int = 64
     gconv_num_layers: int = 5
@@ -80,6 +81,7 @@ class ShapeDenoiser(nn.Module):
             dropout=self.dropout,
             use_checkpoint=self.use_checkpoint,
             fused_conv=self.fused_conv,
+            winograd=self.winograd,
             dtype=self.dtype,
         )
         time_embed_dim = self.model_channels * 4

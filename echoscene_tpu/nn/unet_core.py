@@ -36,6 +36,7 @@ class UNetTorso(nn.Module):
     use_checkpoint: bool = False
     use_scale_shift_norm: bool = False
     fused_conv: bool = False
+    winograd: bool = False    # sampling-only Winograd F(2,3)^3 3x3x3 convs
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -52,6 +53,7 @@ class UNetTorso(nn.Module):
                        spatial_rank=self.spatial_rank, dropout=self.dropout,
                        use_scale_shift_norm=self.use_scale_shift_norm,
                        fused=self.fused_conv and not self.use_checkpoint,
+                       winograd=self.winograd,
                        dtype=self.dtype, name=name)
 
         def attn(ch, name):
@@ -67,6 +69,8 @@ class UNetTorso(nn.Module):
                 dtype=act_dtype(self.dtype), name=name)
 
         hs = []
+        # conv_in/conv_out keep the direct emitter: in/out channels are tiny
+        # (3), so Winograd's 8x input-tile expansion outweighs its MAC saving
         h = _conv(mc, self.spatial_rank, dtype=self.dtype, name="conv_in")(x)
         hs.append(h)
         ch = mc
@@ -101,6 +105,7 @@ class UNetTorso(nn.Module):
                                                           deterministic=deterministic)
                 if level and i == self.num_res_blocks:
                     h = Upsample(ch, self.spatial_rank, dtype=self.dtype,
+                                 winograd=self.winograd,
                                  name=f"up_{level}")(h)
                     ds //= 2
         assert not hs
