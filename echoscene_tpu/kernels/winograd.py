@@ -32,6 +32,22 @@ Behavioral reference for the op being replaced: the 3x3x3 stride-1 SAME
 convolutions of the shape UNet / VQ-VAE decoder
 (/root/reference/model/networks/diffusion_shape/openai_model_3d.py:202-314,
 ldm_diffusion_util.py:241-273 conv_nd).
+
+STATUS — measured on v5e (scripts/bench_winograd.py, in-scan chains), this
+XLA formulation LOSES to the direct conv emitter at every shape-UNet level:
+
+    16^3 C=224: direct 3.91 ms (116 TF/s)  winograd 25.4 ms  (0.15x)
+     8^3 C=448: direct 1.95 ms (116 TF/s)  winograd  7.31 ms (0.27x)
+     4^3 C=672: direct 0.79 ms ( 81 TF/s)  winograd  1.46 ms (0.54x)
+
+The MAC reduction is real but the formulation is HBM-bound: the overlapping
+4^3 tiles materialise an 8x-expanded activation (601 MB at the 16^3 level),
+and the Winograd-domain v/m tensors add two more full-size round-trips —
+~4 GB of traffic against direct conv's ~0.3 GB.  At 819 GB/s that floor
+alone (~5 ms) exceeds direct conv's total.  Winograd only wins here if the
+tile extraction + transforms stay VMEM-resident (a fused Pallas kernel);
+`sample_conv='winograd'` remains available for future toolchains, default
+stays 'direct'.
 """
 from __future__ import annotations
 
@@ -54,10 +70,18 @@ _AT = np.array([[1, 1, 1, 0],
 
 
 @functools.lru_cache(None)
-def _mats():
+def _mats_np():
     b3 = np.kron(np.kron(_BT, _BT), _BT)    # (64, 64)
     g3 = np.kron(np.kron(_G, _G), _G)       # (64, 27)
     a3 = np.kron(np.kron(_AT, _AT), _AT)    # (8, 64)
+    return b3, g3, a3
+
+
+def _mats():
+    # NOTE: only the numpy arrays are cached; jnp conversion must happen per
+    # call — caching a jnp array created inside a jit trace leaks that trace's
+    # tracer into every later jit (UnexpectedTracerError on the 2nd program).
+    b3, g3, a3 = _mats_np()
     return jnp.asarray(b3), jnp.asarray(g3), jnp.asarray(a3)
 
 
