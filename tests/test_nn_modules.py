@@ -134,3 +134,29 @@ def test_vector_quantizer_ste(rng):
         return jnp.sum(out)
     g = jax.grad(f)(z)
     assert np.allclose(np.asarray(g), 1.0)
+
+
+def test_factored_upsample_conv_parity():
+    """repeat2+conv == the factored 2-tap formulation, to f32 rounding
+    (blocks.factored_upsample_conv) — both the UNet (H, W) and the VQ-VAE
+    (D, H, W) upsample patterns."""
+    import jax
+    import jax.numpy as jnp
+    from echoscene_tpu.nn.blocks import factored_upsample_conv
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.random.normal(kx, (2, 4, 4, 4, 6), jnp.float32)
+    w = jax.random.normal(kw, (3, 3, 3, 6, 5), jnp.float32) * 0.3
+    b = jnp.arange(5, dtype=jnp.float32) * 0.1
+
+    for up_axes in [(2, 3), (1, 2, 3)]:
+        xr = x
+        for ax in up_axes:
+            xr = jnp.repeat(xr, 2, axis=ax)
+        ref = jax.lax.conv_general_dilated(
+            xr, w, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+        got = factored_upsample_conv(x, w, b, up_axes)
+        assert got.shape == ref.shape
+        err = float(jnp.max(jnp.abs(ref - got)))
+        assert err < 1e-4, (up_axes, err)
