@@ -121,7 +121,8 @@ def zero_init_conv(features: int, kernel: Sequence[int], **kw) -> nn.Conv:
 
 def factored_upsample_conv(x: jnp.ndarray, kernel: jnp.ndarray,
                            bias: Optional[jnp.ndarray],
-                           up_axes: Tuple[int, ...]) -> jnp.ndarray:
+                           up_axes: Tuple[int, ...],
+                           quantized: bool = False) -> jnp.ndarray:
     """nearest-2x upsample on `up_axes` + SAME 3^r conv, computed EXACTLY as
     2^len(up_axes) small-kernel convolutions on the pre-upsample grid.
 
@@ -170,12 +171,28 @@ def factored_upsample_conv(x: jnp.ndarray, kernel: jnp.ndarray,
 
     dn = {1: ("NLC", "LIO", "NLC"), 2: ("NHWC", "HWIO", "NHWC"),
           3: ("NDHWC", "DHWIO", "NDHWC")}[rank]
+    if quantized:
+        from .quant import quantize_symmetric
+        xq, x_scale = quantize_symmetric(x, axes=None)
+        out_dtype = jnp.bfloat16
     outs = []
     for parity in parities:
-        y = jax.lax.conv_general_dilated(
-            x, sub_kernel(parity), (1,) * rank, sub_pads(parity),
-            dimension_numbers=dn,
-            preferred_element_type=jnp.float32).astype(x.dtype)
+        wk = sub_kernel(parity)
+        if quantized:
+            # W8A8 like Int8Conv: per-out-channel weight scales on the
+            # pre-summed 2-tap sub-kernels, int32 accumulation
+            wq, w_scale = quantize_symmetric(wk, axes=tuple(range(wk.ndim - 1)))
+            y = jax.lax.conv_general_dilated(
+                xq, wq, (1,) * rank, sub_pads(parity),
+                dimension_numbers=dn, preferred_element_type=jnp.int32)
+            deq = (x_scale.reshape(()) *
+                   w_scale.reshape((1,) * (y.ndim - 1) + (wk.shape[-1],)))
+            y = (y.astype(jnp.float32) * deq).astype(out_dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, wk, (1,) * rank, sub_pads(parity),
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32).astype(x.dtype)
         outs.append(y)
 
     # interleave the parity grids: place each parity axis after its spatial
@@ -213,6 +230,9 @@ class FactoredUpsampleConv(nn.Module):
         kshape = (3,) * self.spatial_rank + (c, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if is_int8(self.dtype):
+            return factored_upsample_conv(x.astype(jnp.bfloat16), kernel,
+                                          bias, self.up_axes, quantized=True)
         adt = act_dtype(self.dtype) or x.dtype
         return factored_upsample_conv(x.astype(adt), kernel.astype(adt),
                                       bias, self.up_axes)
@@ -294,9 +314,10 @@ class Upsample(nn.Module):
     def __call__(self, x):
         # factored path: the repeat2+conv pair computed exactly as 4
         # two-tap-per-upsampled-dim convs on the pre-upsample grid (2.25x
-        # fewer MACs, no repeat tensor; see factored_upsample_conv)
+        # fewer MACs, no repeat tensor; see factored_upsample_conv); under
+        # the int8 sentinel the sub-convs run W8A8 like Int8Conv
         if (self.spatial_rank == 3 and self.use_conv
-                and not is_int8(self.dtype) and not self.winograd):
+                and not self.winograd):
             return ScopedFactoredUpsampleConv(
                 features=self.channels, spatial_rank=3, up_axes=(2, 3),
                 dtype=self.dtype)(x)
