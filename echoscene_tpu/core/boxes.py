@@ -98,3 +98,21 @@ def boxes_from_box_vec(vec8):
         "translations": vec8[..., 3:6],
         "angles": sincos_to_angle(vec8[..., 6:8]),
     }
+
+
+ANGLE_BIN_EDGES = np.linspace(np.deg2rad(-180), np.deg2rad(180), 24)
+
+
+def digitize_angle(angle: float) -> float:
+    """Angle (rad) -> 15-degree bin index, clamped into [0, 24) like the
+    reference train loop (threedfront_dataset.py:300-303 digitize;
+    train_3dfront.py:230-233 clamp of out-of-range bins to 0)."""
+    b = float(np.digitize(angle, ANGLE_BIN_EDGES))
+    return b if 0.0 < b < 24.0 else 0.0
+
+
+def bin_angles_to_degrees(angles_pred: np.ndarray) -> np.ndarray:
+    """Legacy 24-bin angle decode: -180 + (argmax + 1) * 15 degrees
+    (eval_3dfront.py:158, :279).  angles_pred: (N, K>=2) bin scores."""
+    return -180.0 + (np.argmax(np.asarray(angles_pred), axis=1,
+                               keepdims=True) + 1) * 15.0

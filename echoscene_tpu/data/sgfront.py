@@ -84,8 +84,12 @@ class SGFrontDataset:
                  eval_type: str = "none", large: bool = False,
                  clip: Optional[ClipTextEncoder] = None,
                  data_len: Optional[int] = None, seed: Optional[int] = None,
-                 sdf_res: int = 64):
+                 sdf_res: int = 64, bin_angle: bool = False):
         self.root = root
+        # legacy 24-bin angle + mean/std box standardisation
+        # (threedfront_dataset.py:300-304); the reference's own comment marks
+        # it "not possible for current diffusion" — kept for surface parity
+        self.bin_angle = bin_angle
         self.room_type = room_type
         self.shuffle_objs = shuffle_objs
         self.use_sdf = use_sdf
@@ -128,7 +132,15 @@ class SGFrontDataset:
 
         self.box_stats_path = os.path.join(
             root, f"centered_bounds_{room_type}_trainval.txt")
-        self.box_stats = load_box_stats(self.box_stats_path)
+        if bin_angle:
+            # mean/std standardisation file: 2 rows of >=7 values
+            # (helpers/util.py:570-590 reads stats[0]/stats[1]) — a DIFFERENT
+            # layout from the min/max 14-float file of the sincos path
+            self.box_stats_msd = np.loadtxt(self.box_stats_path,
+                                            dtype=np.float32).reshape(2, -1)
+            self.box_stats = None
+        else:
+            self.box_stats = load_box_stats(self.box_stats_path)
 
         suffix = "trainval" if split == "train_scans" else "test"
         rel_file = os.path.join(root, f"relationships_{room_type}_{suffix}.json")
@@ -189,7 +201,17 @@ class SGFrontDataset:
                 cat_ids_grained.append(grained_id)
                 b = np.asarray(box_json[str(key)]["param7"], np.float32).copy()
                 b[3:6] -= scene_center
-                b = scale_box_params(b, self.box_stats, angle=False)
+                if self.bin_angle:
+                    # threedfront_dataset.py:300-304: 24-bin digitised angle
+                    # + mean/std standardisation of the 6 box dims
+                    from ..core.boxes import digitize_angle, \
+                        standardize_box_params
+                    b[6] = digitize_angle(b[6])
+                    b[0:6] = standardize_box_params(
+                        b[0:6], self.box_stats_msd[0][:6],
+                        self.box_stats_msd[1][:6])
+                else:
+                    b = scale_box_params(b, self.box_stats, angle=False)
                 boxes.append(b)
                 instances_order.append(key)
                 if self.use_sdf:

@@ -39,7 +39,8 @@ def evaluate(args):
             use_sdf=margs["with_SDF"], use_scene_rels=margs["use_scene_rels"],
             with_changes=etype != "none", eval_mode=etype != "none",
             eval_type=etype, large=margs["large"], clip=clip, seed=47,
-            sdf_res=margs.get("sdf_res", 64))
+            sdf_res=margs.get("sdf_res", 64),
+            bin_angle=margs.get("bin_angle", False))
 
     cfg = load_config(margs["diff_yaml"], network_type=margs["network_type"],
                       with_clip=margs["with_CLIP"])
@@ -80,12 +81,15 @@ def evaluate(args):
             "(cat_jid_trainval[_small].json)"
         mesh_db = SizeDatabase(args.mesh_db, model_dir=args.model_dir)
 
+    bin_angle = margs.get("bin_angle", False)
     evaluator = SceneEvaluator(
-        sg, state, spec, ds0.box_stats, gen_shape=args.gen_shape,
+        sg, state, spec,
+        ds0.box_stats_msd if bin_angle else ds0.box_stats,
+        gen_shape=args.gen_shape,
         store_path=args.store_path, render_dir=args.render_dir,
         dump_sdfs=args.dump_sdfs, eval_batch=args.eval_batch,
         dp_devices=args.dp_devices, render_type=args.render_type,
-        mesh_db=mesh_db)
+        mesh_db=mesh_db, bin_angle=bin_angle)
 
     key = jax.random.PRNGKey(47)
     results = {}

@@ -53,8 +53,9 @@ class SceneEvaluator:
                  render_dir: Optional[str] = None,
                  dump_sdfs: bool = False, eval_batch: int = 1,
                  dp_devices: int = 1, render_type: str = "echoscene",
-                 mesh_db=None):
+                 mesh_db=None, bin_angle: bool = False):
         import jax
+        self.bin_angle = bin_angle
         self.sg = sg
         self.state = state
         self.spec = spec
@@ -101,8 +102,19 @@ class SceneEvaluator:
         sizes, trans, angles, keep = (out_slice["sizes"],
                                       out_slice["translations"],
                                       out_slice["angles"], out_slice["keep"])
-        boxes6 = descale_box_params(
-            np.concatenate([sizes, trans], -1), self.stats)
+        if self.bin_angle:
+            # legacy decode (eval_3dfront.py:158, :279): argmax bin -> degrees
+            # and mean/std destandardisation; stats here is the (2, >=6)
+            # mean/std file (data/sgfront.py bin_angle loader)
+            from ..core.boxes import (bin_angles_to_degrees,
+                                      destandardize_box_params)
+            angles = np.deg2rad(bin_angles_to_degrees(angles))
+            boxes6 = destandardize_box_params(
+                np.concatenate([sizes, trans], -1),
+                self.stats[0][:6], self.stats[1][:6])
+        else:
+            boxes6 = descale_box_params(
+                np.concatenate([sizes, trans], -1), self.stats)
         if (self.gen_shape and out_slice.get("shapes") is not None
                 and self.dump_sdfs):
             np.savez_compressed(
@@ -137,7 +149,12 @@ class SceneEvaluator:
             save_png(img, os.path.join(self.render_dir, f"{ex.scan_id}.png"))
         if etype != "none":
             # untouched nodes keep their GT boxes (eval_3dfront.py:191-202)
-            gt6 = descale_box_params(ex.boxes[:, :6], self.stats)
+            if self.bin_angle:
+                from ..core.boxes import destandardize_box_params
+                gt6 = destandardize_box_params(
+                    ex.boxes[:, :6], self.stats[0][:6], self.stats[1][:6])
+            else:
+                gt6 = descale_box_params(ex.boxes[:, :6], self.stats)
             boxes6 = np.where(keep[:, None] == 1, gt6, boxes6)
             validate_constrains_changes(ex.triples, boxes6, keep,
                                         ds.vocab["pred_idx_to_name"], acc)

@@ -76,6 +76,9 @@ class ShapeDenoiserConfig:
     # sampling-only Winograd F(2,3)^3 3x3x3 convs (kernels/winograd.py);
     # set on the inference twin via EchoSceneConfig.sample_conv
     winograd: bool = False
+    # sampling-only exact factored upsample+conv (blocks.py) -- set on the
+    # inference twin by SGDiff; its backward is slower than repeat+conv's
+    factored_upsample: bool = False
     # LDM schedule (model.params in sdfusion yaml)
     linear_start: float = 0.00085
     linear_end: float = 0.012
@@ -95,6 +98,8 @@ class VQVAEConfig:
     num_res_blocks: int = 1
     attn_resolutions: Tuple[int, ...] = ()
     dropout: float = 0.0
+    # sampling-only exact factored upsample+conv in the decoder
+    factored_upsample: bool = False
 
 
 @dataclass

@@ -105,6 +105,7 @@ class EchoSceneModule(nn.Module):
                 use_checkpoint=sd.use_checkpoint,
                 fused_conv=getattr(sd, "fused_conv", False),
                 winograd=getattr(sd, "winograd", False),
+                factored_upsample=getattr(sd, "factored_upsample", False),
                 num_preds=16, dtype=dtype)
             vq = cfg.shape_branch.vqvae
             self.vqvae = VQVAE(
@@ -113,6 +114,7 @@ class EchoSceneModule(nn.Module):
                 attn_resolutions=tuple(vq.attn_resolutions),
                 in_channels=vq.in_channels, out_ch=vq.out_ch,
                 z_channels=vq.z_channels, resolution=vq.resolution,
+                factored_upsample=getattr(vq, "factored_upsample", False),
                 dtype=adt)  # VQ decode stays bf16 even under int8 (runs once)
 
         ld = cfg.layout_denoiser

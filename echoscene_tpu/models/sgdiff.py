@@ -129,6 +129,10 @@ class SGDiff:
                 infer_cfg.shape_branch.denoiser.fused_conv = True
             if getattr(cfg, "sample_conv", "direct") == "winograd":
                 infer_cfg.shape_branch.denoiser.winograd = True
+            # exact factored upsample+conv: inference-only (its backward is
+            # slower than repeat+conv's -- nn/blocks.py Upsample)
+            infer_cfg.shape_branch.denoiser.factored_upsample = True
+            infer_cfg.shape_branch.vqvae.factored_upsample = True
             self.module_infer = EchoSceneModule(infer_cfg, num_objs=num_objs,
                                                 num_preds=num_preds)
         else:

@@ -309,15 +309,21 @@ class Upsample(nn.Module):
     use_conv: bool = True
     dtype: Optional[jnp.dtype] = None
     winograd: bool = False
+    factored: bool = False    # SAMPLING-ONLY exact factored upsample+conv
 
     @nn.compact
     def __call__(self, x):
         # factored path: the repeat2+conv pair computed exactly as 4
         # two-tap-per-upsampled-dim convs on the pre-upsample grid (2.25x
         # fewer MACs, no repeat tensor; see factored_upsample_conv); under
-        # the int8 sentinel the sub-convs run W8A8 like Int8Conv
-        if (self.spatial_rank == 3 and self.use_conv
-                and not self.winograd):
+        # the int8 sentinel the sub-convs run W8A8 like Int8Conv.
+        # INFERENCE-ONLY: the backward through the asymmetric-pad sub-convs
+        # + interleave measured 2.2x SLOWER than repeat+conv's (train step
+        # 194.6 -> 421 ms), so the flag is set only on the no-backward twin.
+        import os as _os
+        if (self.spatial_rank == 3 and self.use_conv and self.factored
+                and not self.winograd
+                and not _os.environ.get("ECHOSCENE_NO_FACTORED_UP")):
             return ScopedFactoredUpsampleConv(
                 features=self.channels, spatial_rank=3, up_axes=(2, 3),
                 dtype=self.dtype)(x)

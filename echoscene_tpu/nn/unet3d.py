@@ -47,6 +47,7 @@ class ShapeDenoiser(nn.Module):
     use_checkpoint: bool = False
     fused_conv: bool = False
     winograd: bool = False
+    factored_upsample: bool = False
     dropout: float = 0.0
     gconv_dim: int = 64
     gconv_num_layers: int = 5
@@ -82,6 +83,7 @@ class ShapeDenoiser(nn.Module):
             use_checkpoint=self.use_checkpoint,
             fused_conv=self.fused_conv,
             winograd=self.winograd,
+            factored_upsample=self.factored_upsample,
             dtype=self.dtype,
         )
         time_embed_dim = self.model_channels * 4

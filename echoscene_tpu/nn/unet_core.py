@@ -37,6 +37,7 @@ class UNetTorso(nn.Module):
     use_scale_shift_norm: bool = False
     fused_conv: bool = False
     winograd: bool = False    # sampling-only Winograd F(2,3)^3 3x3x3 convs
+    factored_upsample: bool = False  # sampling-only factored upsample+conv
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -106,6 +107,7 @@ class UNetTorso(nn.Module):
                 if level and i == self.num_res_blocks:
                     h = Upsample(ch, self.spatial_rank, dtype=self.dtype,
                                  winograd=self.winograd,
+                                 factored=self.factored_upsample,
                                  name=f"up_{level}")(h)
                     ds //= 2
         assert not hs

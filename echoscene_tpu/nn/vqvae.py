@@ -106,19 +106,29 @@ class Downsample3D(nn.Module):
 
 
 class Upsample3D(nn.Module):
-    """Nearest 2x in all three dims + conv (vqvae_modules.py:24-39)."""
+    """Nearest 2x in all three dims + conv (vqvae_modules.py:24-39).
+
+    `factored=True` (SAMPLING-ONLY: the factored form's backward measured
+    slower than repeat+conv's) computes the pair exactly as 8 (2,2,2)-tap
+    convs on the pre-upsample grid — 3.375x fewer MACs, no 8x repeat tensor
+    (blocks.factored_upsample_conv); params stay nn.Conv-shaped either way.
+    """
     channels: int
     dtype: Optional[jnp.dtype] = None
+    factored: bool = False
 
     @nn.compact
     def __call__(self, x):
-        from .blocks import ScopedFactoredUpsampleConv
-        # exact factored form of repeat2(all dims)+conv: 8 (2,2,2)-tap convs
-        # on the pre-upsample grid — 3.375x fewer MACs, no 8x repeat tensor
-        # (see blocks.factored_upsample_conv); params stay nn.Conv-shaped
-        return ScopedFactoredUpsampleConv(
-            features=self.channels, spatial_rank=3, up_axes=(1, 2, 3),
-            dtype=self.dtype)(x)
+        import os
+        if self.factored and not os.environ.get("ECHOSCENE_NO_FACTORED_UP"):
+            from .blocks import ScopedFactoredUpsampleConv
+            return ScopedFactoredUpsampleConv(
+                features=self.channels, spatial_rank=3, up_axes=(1, 2, 3),
+                dtype=self.dtype)(x)
+        for axis in (1, 2, 3):
+            x = jnp.repeat(x, 2, axis=axis)
+        return nn.Conv(self.channels, (3, 3, 3), padding=1,
+                       dtype=self.dtype)(x)
 
 
 def _act(name: str):
@@ -178,6 +188,7 @@ class Decoder3D(nn.Module):
     dropout: float = 0.0
     activ: str = "gelu"
     dtype: Optional[jnp.dtype] = None
+    factored_upsample: bool = False
 
     @nn.compact
     def __call__(self, z, *, deterministic: bool = True):
@@ -202,6 +213,7 @@ class Decoder3D(nn.Module):
                                     name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = Upsample3D(h.shape[-1], self.dtype,
+                               factored=self.factored_upsample,
                                name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
         h = _norm(h.shape[-1])(h)
@@ -256,6 +268,7 @@ class VQVAE(nn.Module):
     resolution: int = 64
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    factored_upsample: bool = False   # sampling-only (see Upsample3D)
 
     def setup(self):
         self.encoder = Encoder3D(
@@ -266,7 +279,8 @@ class VQVAE(nn.Module):
             ch=self.ch, out_ch=self.out_ch, ch_mult=self.ch_mult,
             num_res_blocks=self.num_res_blocks,
             attn_resolutions=self.attn_resolutions, resolution=self.resolution,
-            dropout=self.dropout, dtype=self.dtype)
+            dropout=self.dropout, dtype=self.dtype,
+            factored_upsample=self.factored_upsample)
         self.quantize = VectorQuantizer(self.n_embed, self.embed_dim)
         self.quant_conv = nn.Conv(self.embed_dim, (1, 1, 1), dtype=self.dtype)
         self.post_quant_conv = nn.Conv(self.z_channels, (1, 1, 1), dtype=self.dtype)

@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--with_CLIP", type=bool_flag, default=True)
     p.add_argument("--shuffle_objs", type=bool_flag, default=True)
     p.add_argument("--with_angles", type=bool_flag, default=True)
+    p.add_argument("--bin_angle", type=bool_flag, default=False,
+                   help="legacy 24-bin angle + mean/std box standardisation "
+                        "(train_3dfront.py:51); the reference's own dataset "
+                        "comment marks it incompatible with the diffusion "
+                        "parameterisation (threedfront_dataset.py:300)")
     # 6 or 7 accepted for reference-CLI parity (train_3dfront.py:52,126-133).
     # Both feed the same 7-dim (size,trans,angle) vector into the layout
     # branch when with_angles=True — the reference's 7 merely carries the raw
@@ -95,11 +100,17 @@ def main(argv=None):
     from .trainer import Trainer, dump_args
 
     clip = ClipTextEncoder(args.clip_backend)
+    if args.bin_angle:
+        print("[train] WARNING: --bin_angle reproduces the legacy 24-bin "
+              "angle encoding; the reference marks it 'not possible for "
+              "current diffusion' (threedfront_dataset.py:300) — the sincos "
+              "angle channels will carry bin indices.")
     dataset = SGFrontDataset(
         root=args.dataset, split="train_scans", room_type=args.room_type,
         shuffle_objs=args.shuffle_objs, use_sdf=args.with_SDF,
         use_scene_rels=args.use_scene_rels, with_changes=args.with_changes,
-        large=args.large, clip=clip, seed=args.seed, sdf_res=args.sdf_res)
+        large=args.large, clip=clip, seed=args.seed, sdf_res=args.sdf_res,
+        bin_angle=args.bin_angle)
 
     cfg = load_config(args.diff_yaml, network_type=args.network_type,
                       with_clip=args.with_CLIP)

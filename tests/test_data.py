@@ -190,3 +190,31 @@ def test_collate_scene_overflow_drops(fake_root):
     batch = collate_scenes(examples, spec)
     assert batch is not None
     assert batch.dec.obj_mask.sum() <= 10
+
+
+def test_bin_angle_dataset_and_decode(tmp_path):
+    """--bin_angle surface parity: 24-bin digitised angles + mean/std box
+    standardisation at the dataset (threedfront_dataset.py:300-304 +
+    train_3dfront.py:230-233 clamp) and the legacy eval decode
+    (eval_3dfront.py:158)."""
+    import numpy as np
+    from echoscene_tpu.data.fake import make_fake_dataset
+    from echoscene_tpu.data.sgfront import SGFrontDataset
+    from echoscene_tpu.core.boxes import (bin_angles_to_degrees,
+                                          digitize_angle)
+
+    root = str(tmp_path / "data")
+    make_fake_dataset(root, num_scenes=2, min_objs=3, max_objs=4, sdf_res=16)
+    ds = SGFrontDataset(root, use_sdf=False, with_changes=False, seed=0,
+                        bin_angle=True)
+    ex = ds[0]
+    angles = ex.boxes[:-1, 6]       # exclude the _scene_ root sentinel box
+    assert np.all(angles == np.round(angles))        # integral bin ids
+    assert np.all((angles >= 0) & (angles < 24))     # clamped range
+    assert ds.box_stats_msd.shape[0] == 2
+
+    assert digitize_angle(0.0) == 12.0               # mid-range bin
+    assert digitize_angle(100.0) == 0.0              # out of range -> clamp
+    deg = bin_angles_to_degrees(np.eye(24, dtype=np.float32))
+    assert deg.shape == (24, 1)
+    assert deg[0, 0] == -165.0 and deg[23, 0] == 180.0
