@@ -28,15 +28,32 @@ def pair_chamfer(points_a: np.ndarray, points_b: np.ndarray) -> float:
 def consistency_from_sdfs(sdf_by_instance: Dict[int, np.ndarray],
                           groups: Sequence[Sequence[int]],
                           category_by_instance: Optional[Dict[int, str]] = None,
-                          n_points: int = 5000, seed: int = 0):
+                          n_points: int = 5000, seed: int = 0,
+                          clip_encoder=None, clip_results=None):
     """Score one scene.
 
     sdf_by_instance: instance id -> (R,R,R[,1]) generated SDF grid.
     groups: lists of instance ids annotated as the same object.
     Returns list of (category, chamfer) tuples over all in-group pairs.
+
+    clip_encoder: optional eval.clip_image.ClipImageEncoder — also scores the
+    CLIP image-feature distance of each pair's rendered shapes
+    (consistency_check.py:63-75), appended to `clip_results` as
+    (category, distance) tuples.
     """
     results = []
     clouds: Dict[int, np.ndarray] = {}
+    feats: Dict[int, np.ndarray] = {}
+
+    def feat(iid):
+        if iid not in feats:
+            from .render import render_sdf_grid
+            grid = np.asarray(sdf_by_instance[iid], np.float32)
+            if grid.ndim == 4:
+                grid = grid[..., 0]
+            img = render_sdf_grid(grid, image_size=224)
+            feats[iid] = clip_encoder.encode(img)
+        return feats[iid]
 
     def cloud(iid):
         if iid not in clouds:
@@ -55,6 +72,9 @@ def consistency_from_sdfs(sdf_by_instance: Dict[int, np.ndarray],
             cd = pair_chamfer(cloud(a), cloud(b))
             cat = (category_by_instance or {}).get(a, "all")
             results.append((cat, cd))
+            if clip_encoder is not None and clip_results is not None:
+                d = float(np.linalg.norm(feat(a) - feat(b)))
+                clip_results.append((cat, d))
     return results
 
 

@@ -29,7 +29,20 @@ def main(argv=None):
     p.add_argument("--generated_dir", required=True,
                    help="dir of <scan_id>.npz generated sdf dumps")
     p.add_argument("--num_points", type=int, default=5000)
+    p.add_argument("--clip", default="off",
+                   choices=["off", "pixel", "transformers"],
+                   help="also report CLIP image-feature pair distances "
+                        "(consistency_check.py:63-75); 'pixel' is a hermetic "
+                        "proxy NOT comparable to real-CLIP numbers, "
+                        "'transformers' needs local CLIP vision weights")
+    p.add_argument("--clip_model_path", default=None)
     args = p.parse_args(argv)
+
+    clip_enc = None
+    clip_results = []
+    if args.clip != "off":
+        from echoscene_tpu.eval.clip_image import ClipImageEncoder
+        clip_enc = ClipImageEncoder(args.clip, args.clip_model_path)
 
     anns = load_consistency_annotations(args.annotations)
     all_results = []
@@ -45,9 +58,12 @@ def main(argv=None):
             cats = {int(i): str(c) for i, c in zip(iids, data["categories"])}
         by_iid = {int(i): sdfs[k] for k, i in enumerate(iids)}
         all_results.extend(consistency_from_sdfs(
-            by_iid, groups, cats, n_points=args.num_points))
+            by_iid, groups, cats, n_points=args.num_points,
+            clip_encoder=clip_enc, clip_results=clip_results))
 
     agg = aggregate_consistency(all_results)
+    if clip_enc is not None:
+        agg["clip"] = aggregate_consistency(clip_results)
     print(json.dumps(agg, indent=2))
     return agg
 

@@ -23,6 +23,7 @@ def test_dumped_sdfs_are_float32(tmp_path):
     ev.gen_shape = True
     ev.dump_sdfs = True
     ev.render_dir = None
+    ev.bin_angle = False
     ev.store_path = str(tmp_path)
     ev.stats = np.asarray([0, 0, 0, 1, 1, 1, 0, 0, 0, 1, 1, 1, 0, 1],
                           np.float32)

@@ -151,3 +151,32 @@ def test_fid_kid_sanity(rng):
     d_other = frechet_distance(f1, f2)
     assert abs(d_self) < 1.0
     assert d_other >= 0
+
+
+def test_consistency_clip_option(tmp_path):
+    """--clip pixel path of the consistency metric (consistency_check.py:63-75
+    parity surface): pairs of identical shapes score 0 CLIP distance, and the
+    aggregate report carries a 'clip' block."""
+    import json
+    import numpy as np
+    from echoscene_tpu.eval.consistency import (aggregate_consistency,
+                                                consistency_from_sdfs)
+    from echoscene_tpu.eval.clip_image import ClipImageEncoder
+
+    r = 16
+    x, y, z = np.meshgrid(*([np.linspace(-1, 1, r)] * 3), indexing="ij")
+    sphere = (np.sqrt(x**2 + y**2 + z**2) - 0.6).astype(np.float32)
+    cube = (np.maximum.reduce([abs(x), abs(y), abs(z)]) - 0.5).astype(np.float32)
+    sdfs = {0: sphere, 1: sphere.copy(), 2: cube, 3: sphere}
+
+    clip_results = []
+    res = consistency_from_sdfs(
+        sdfs, [[0, 1], [2, 3]], {0: "chair", 2: "table"},
+        n_points=500, clip_encoder=ClipImageEncoder("pixel"),
+        clip_results=clip_results)
+    assert len(res) == 2 and len(clip_results) == 2
+    by_cat = dict(clip_results)
+    assert by_cat["chair"] < 1e-6          # identical shapes -> 0 distance
+    assert by_cat["table"] > 1e-4          # different shapes -> positive
+    agg = aggregate_consistency(clip_results)
+    assert "total" in agg
