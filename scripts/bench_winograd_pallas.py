@@ -4,7 +4,11 @@ In-scan lax.scan chains + D2H readback (BASELINE.md timing trap).
 """
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
