@@ -75,11 +75,17 @@ def evaluate(args):
             os.path.join(args.exp, "checkpoint", f"model{args.epoch}"), state)
 
     mesh_db = None
+    txt2shape_db = None
     if args.render_type == "retrieval":
         from .retrieval import SizeDatabase
         assert args.mesh_db, "--render_type retrieval requires --mesh_db " \
             "(cat_jid_trainval[_small].json)"
         mesh_db = SizeDatabase(args.mesh_db, model_dir=args.model_dir)
+    elif args.render_type == "txt2shape":
+        from .retrieval import MeshResultsDir
+        assert args.txt2shape_dir, "--render_type txt2shape requires " \
+            "--txt2shape_dir (per-category results: <dir>/<label>/*.ply)"
+        txt2shape_db = MeshResultsDir(args.txt2shape_dir)
 
     bin_angle = margs.get("bin_angle", False)
     evaluator = SceneEvaluator(
@@ -89,7 +95,7 @@ def evaluate(args):
         store_path=args.store_path, render_dir=args.render_dir,
         dump_sdfs=args.dump_sdfs, eval_batch=args.eval_batch,
         dp_devices=args.dp_devices, render_type=args.render_type,
-        mesh_db=mesh_db, bin_angle=bin_angle)
+        mesh_db=mesh_db, txt2shape_db=txt2shape_db, bin_angle=bin_angle)
 
     key = jax.random.PRNGKey(47)
     results = {}
@@ -120,16 +126,22 @@ def build_parser():
     p.add_argument("--render_dir", default=None,
                    help="save top-down renders (FID generated set)")
     p.add_argument("--render_type", default="echoscene",
-                   choices=["echoscene", "retrieval", "onlybox"],
+                   choices=["echoscene", "retrieval", "onlybox", "txt2shape"],
                    help="echoscene = generated SDF meshes; retrieval = "
                         "3D-FUTURE meshes by predicted size (helpers/util.py:"
-                        "86-138); onlybox = solid box layout render")
+                        "86-138); onlybox = solid box layout render; "
+                        "txt2shape = pre-generated per-category result "
+                        "meshes fitted to predicted boxes (helpers/util.py:"
+                        "334-374)")
     p.add_argument("--mesh_db", default=None,
                    help="cat_jid_trainval[_small].json for --render_type "
                         "retrieval")
     p.add_argument("--model_dir", default=None,
                    help="3D-FUTURE-model directory (default: next to "
                         "--mesh_db)")
+    p.add_argument("--txt2shape_dir", default=None,
+                   help="results root for --render_type txt2shape "
+                        "(<dir>/<label>/*.ply)")
     p.add_argument("--layout_sampler", default=None,
                    choices=["ddpm", "ddim", "dpmpp"],
                    help="override layout sampler (default: full DDPM chain)")

@@ -53,7 +53,7 @@ class SceneEvaluator:
                  render_dir: Optional[str] = None,
                  dump_sdfs: bool = False, eval_batch: int = 1,
                  dp_devices: int = 1, render_type: str = "echoscene",
-                 mesh_db=None, bin_angle: bool = False):
+                 mesh_db=None, txt2shape_db=None, bin_angle: bool = False):
         import jax
         self.bin_angle = bin_angle
         self.sg = sg
@@ -66,8 +66,9 @@ class SceneEvaluator:
         self.dump_sdfs = dump_sdfs
         self.eval_batch = eval_batch
         self.dp_devices = dp_devices
-        self.render_type = render_type    # echoscene | retrieval | onlybox
+        self.render_type = render_type    # echoscene|retrieval|onlybox|txt2shape
         self.mesh_db = mesh_db            # SizeDatabase for 'retrieval'
+        self.txt2shape_db = txt2shape_db  # MeshResultsDir for 'txt2shape'
         os.makedirs(store_path, exist_ok=True)
         if render_dir:
             os.makedirs(render_dir, exist_ok=True)
@@ -137,6 +138,15 @@ class SceneEvaluator:
                 from .retrieval import render_scene_retrieval
                 img = render_scene_retrieval(
                     ex.objs, boxes7, names, self.mesh_db,
+                    mesh_dir=os.path.join(self.render_dir, "object_meshes",
+                                          ex.scan_id))
+            elif self.render_type == "txt2shape":
+                # eval_3dfront.py --render_type txt2shape: pre-generated
+                # per-category result meshes fitted to the predicted boxes
+                # (get_sdfusion_models, helpers/util.py:334-374)
+                from .retrieval import render_scene_txt2shape
+                img = render_scene_txt2shape(
+                    ex.objs, boxes7, names, self.txt2shape_db,
                     mesh_dir=os.path.join(self.render_dir, "object_meshes",
                                           ex.scan_id))
             elif self.render_type == "onlybox":

@@ -81,6 +81,40 @@ def place_retrieved(verts: np.ndarray, box7: Sequence[float]) -> np.ndarray:
     return (np.asarray(verts, np.float32) @ R + t).astype(np.float32)
 
 
+class _SceneAccum:
+    """Triangle-soup accumulator with a ground plane (shared by the
+    non-generated mesh-source render modes)."""
+
+    def __init__(self, floor_extent: float = 5.0):
+        self._v: List[np.ndarray] = []
+        self._t: List[np.ndarray] = []
+        self._c: List[np.ndarray] = []
+        self._off = 0
+        fv = np.array([[-floor_extent, 0, -floor_extent],
+                       [floor_extent, 0, -floor_extent],
+                       [floor_extent, 0, floor_extent],
+                       [-floor_extent, 0, floor_extent]], np.float32)
+        self.add(fv, np.array([[0, 2, 1], [0, 3, 2]], np.int32),
+                 np.array([0.85, 0.85, 0.85], np.float32))
+
+    def add(self, v, t, color):
+        if len(t) == 0:
+            return
+        self._v.append(v)
+        self._t.append(t + self._off)
+        self._c.append(np.tile(color[None], (len(t), 1)))
+        self._off += len(v)
+
+    def result(self):
+        if not self._v:
+            return (np.zeros((0, 3), np.float32),
+                    np.zeros((0, 3), np.int32),
+                    np.zeros((0, 3), np.float32))
+        return (np.concatenate(self._v),
+                np.concatenate(self._t).astype(np.int32),
+                np.concatenate(self._c))
+
+
 def assemble_scene_retrieval(objs: Sequence[int], boxes7: np.ndarray,
                              class_names: Sequence[str], db: SizeDatabase,
                              skip_classes: Sequence[str] = ("_scene_", "floor"),
@@ -93,27 +127,7 @@ def assemble_scene_retrieval(objs: Sequence[int], boxes7: np.ndarray,
     `<label>_<cat>_<instance>.obj` (get_database_objects :118)."""
     from .render import box_mesh, export_obj
 
-    all_v: List[np.ndarray] = []
-    all_t: List[np.ndarray] = []
-    all_c: List[np.ndarray] = []
-    off = 0
-
-    def add(v, t, color):
-        nonlocal off
-        if len(t) == 0:
-            return
-        all_v.append(v)
-        all_t.append(t + off)
-        all_c.append(np.tile(color[None], (len(t), 1)))
-        off += len(v)
-
-    fv = np.array([[-floor_extent, 0, -floor_extent],
-                   [floor_extent, 0, -floor_extent],
-                   [floor_extent, 0, floor_extent],
-                   [-floor_extent, 0, floor_extent]], np.float32)
-    add(fv, np.array([[0, 2, 1], [0, 3, 2]], np.int32),
-        np.array([0.85, 0.85, 0.85], np.float32))
-
+    acc = _SceneAccum(floor_extent)
     instance = 1
     for i, cid in enumerate(objs):
         name = class_names[int(cid)].rstrip("\n")
@@ -123,7 +137,7 @@ def assemble_scene_retrieval(objs: Sequence[int], boxes7: np.ndarray,
         color = class_color(name)
         if jid is None:
             cv, ct = box_mesh(boxes7[i])
-            add(cv, ct, color)
+            acc.add(cv, ct, color)
             continue
         mv, mt = db.load_mesh(jid)
         mv = place_retrieved(mv, boxes7[i])
@@ -132,13 +146,94 @@ def assemble_scene_retrieval(objs: Sequence[int], boxes7: np.ndarray,
             export_obj(os.path.join(
                 mesh_dir, f"{name}_{int(cid)}_{instance}.obj"), mv, mt)
         instance += 1
-        add(mv, mt, color)
+        acc.add(mv, mt, color)
+    return acc.result()
 
-    if not all_v:
-        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32),
-                np.zeros((0, 3), np.float32))
-    return (np.concatenate(all_v), np.concatenate(all_t).astype(np.int32),
-            np.concatenate(all_c))
+
+class MeshResultsDir:
+    """Pre-generated per-category mesh results — the reference's `txt2shape`
+    render mode (get_sdfusion_models, helpers/util.py:334-374: SDFusion
+    text-to-shape outputs organised as `<root>/<label>/*.ply`).
+
+    Pick policy: the reference draws `random.choice` under a per-object
+    re-seeded RNG whose seed is itself random (helpers/util.py:350-352) —
+    irreproducible by construction.  Here the pick is deterministic
+    (`index % len(files)` over the sorted listing) so eval runs repeat.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self._files: Dict[str, List[str]] = {}
+        self._mesh_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def files(self, label: str) -> List[str]:
+        if label not in self._files:
+            d = os.path.join(self.root, label)
+            self._files[label] = sorted(
+                f for f in (os.listdir(d) if os.path.isdir(d) else [])
+                if f.endswith(".ply"))
+        return self._files[label]
+
+    def pick(self, label: str, index: int):
+        """-> (verts, faces) for the index-th result of `label`, or None."""
+        fs = self.files(label)
+        if not fs:
+            return None
+        path = os.path.join(self.root, label, fs[index % len(fs)])
+        if path not in self._mesh_cache:
+            from .render import read_ply
+            self._mesh_cache[path] = read_ply(path)
+        return self._mesh_cache[path]
+
+
+def assemble_scene_txt2shape(objs: Sequence[int], boxes7: np.ndarray,
+                             class_names: Sequence[str], db: MeshResultsDir,
+                             skip_classes: Sequence[str] = ("_scene_", "floor"),
+                             without_lamp: bool = True,
+                             floor_extent: float = 5.0,
+                             mesh_dir: Optional[str] = None):
+    """txt2shape assembly (get_sdfusion_models :334-374): per object load a
+    pre-generated category mesh and FIT it to the predicted box (scale +
+    yaw + translate via fit_shapes_to_box_v2 semantics — unlike retrieval,
+    which only places).  Categories with no results fall back to a solid
+    box.  `mesh_dir` exports match the reference's
+    `<label>_<cat>_<instance>.obj` naming (:364)."""
+    from .render import box_mesh, export_obj, fit_verts_to_box
+
+    acc = _SceneAccum(floor_extent)
+    instance = 1
+    for i, cid in enumerate(objs):
+        name = class_names[int(cid)].rstrip("\n")
+        if name in skip_classes or (without_lamp and name == "lamp"):
+            continue
+        color = class_color(name)
+        got = db.pick(name, i)
+        if got is None:
+            cv, ct = box_mesh(boxes7[i])
+            acc.add(cv, ct, color)
+            continue
+        mv, mt = got
+        if mt is None or len(mt) == 0:
+            cv, ct = box_mesh(boxes7[i])
+            acc.add(cv, ct, color)
+            continue
+        mv = fit_verts_to_box(mv, boxes7[i])
+        if mesh_dir:
+            os.makedirs(mesh_dir, exist_ok=True)
+            export_obj(os.path.join(
+                mesh_dir, f"{name}_{int(cid)}_{instance}.obj"), mv, mt)
+        instance += 1
+        acc.add(mv, mt, color)
+    return acc.result()
+
+
+def render_scene_txt2shape(objs, boxes7, class_names, db: MeshResultsDir,
+                           image_size: int = 256, **kw) -> np.ndarray:
+    from .. import native
+    verts, tris, colors = assemble_scene_txt2shape(objs, boxes7, class_names,
+                                                   db, **kw)
+    return native.rasterize_topdown(verts, tris, colors,
+                                    width=image_size, height=image_size)
 
 
 def render_scene_retrieval(objs, boxes7, class_names, db: SizeDatabase,

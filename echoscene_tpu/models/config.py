@@ -143,6 +143,10 @@ class EchoSceneConfig:
     lr_init: float = 1e-4
     lr_step: Tuple[int, ...] = (35000, 70000, 140000)
     lr_evo: Tuple[float, ...] = (5e-5, 1e-5, 5e-6)
+    grad_accum: int = 1                    # microbatches per optimizer step
+                                           # (reach the reference's batch 64
+                                           # within one chip's HBM: e.g.
+                                           # batchSize 16 x grad_accum 4)
     # precision
     compute_dtype: str = "float32"         # training compute: 'float32' | 'bfloat16'
     sample_dtype: str = "bfloat16"         # sampling compute (denoiser+decoder):

@@ -62,6 +62,14 @@ def make_optimizer(cfg: EchoSceneConfig, params):
         {"train": optax.adamw(lr_schedule(cfg)),
          "frozen": optax.set_to_zero()},
         _label_params(params))
+    accum = int(getattr(cfg, "grad_accum", 1) or 1)
+    if accum > 1:
+        # Gradient accumulation: each train_step call feeds one microbatch;
+        # the inner tx (and so the lr schedule's step count — the reference's
+        # per-optimizer-step LambdaLR semantics, EchoScene.py:117-128) only
+        # advances every `accum` calls, applying the MEAN of the accumulated
+        # grads.  Restores the reference's effective batch 64 on one chip.
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx
 
 

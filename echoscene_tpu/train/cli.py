@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "yaml's hyper.batch_size; smaller fits one chip's "
                         "HBM — the reference default 64 assumes a larger "
                         "accelerator)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step (mean of grads; "
+                        "reach the reference's effective batch 64 on one "
+                        "chip: --batchSize 16 --grad_accum 4)")
     return p
 
 
@@ -121,6 +125,7 @@ def main(argv=None):
     cfg.use_angles = args.with_angles
     if args.diffusion_bs:
         cfg.diffusion_bs = args.diffusion_bs
+    cfg.grad_accum = max(1, args.grad_accum)
     cfg.compute_dtype = args.compute_dtype
     cfg.layout_diffusion.train_stats_file = dataset.box_stats_path
     cfg.layout_denoiser.using_clip = args.with_CLIP

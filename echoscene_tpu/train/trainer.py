@@ -134,6 +134,9 @@ class Trainer:
 
     def current_lr(self, counter: int) -> float:
         cfg = self.sgdiff.cfg
+        # with grad accumulation the lr schedule advances once per OPTIMIZER
+        # step (every grad_accum train_step calls), not per microbatch
+        counter //= max(1, int(getattr(cfg, "grad_accum", 1) or 1))
         lr = cfg.lr_init
         for b, v in zip(cfg.lr_step, cfg.lr_evo):
             if counter >= b:

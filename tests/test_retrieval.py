@@ -103,3 +103,65 @@ def test_assemble_and_render_retrieval(fake_db, tmp_path):
     img = render_scene_retrieval(objs, boxes7, classes, db)
     assert img.shape == (256, 256, 3) and img.dtype == np.uint8
     assert (img != 255).any()   # something was drawn
+
+
+# ---------------------------------------------------------------------------
+# txt2shape mode (get_sdfusion_models, helpers/util.py:334-374)
+
+@pytest.fixture(scope="module")
+def fake_results_dir(tmp_path_factory):
+    from echoscene_tpu.eval.render import export_ply
+    root = tmp_path_factory.mktemp("txt2shape_results")
+    for cat, n in [("bed", 2), ("table", 1)]:
+        d = root / cat
+        d.mkdir()
+        for k in range(n):
+            v, f = _cube(1.0 + k, 1.0, 1.0)
+            export_ply(str(d / f"res{k}.ply"), v, f)
+    return str(root)
+
+
+def test_mesh_results_dir_pick(fake_results_dir):
+    from echoscene_tpu.eval.retrieval import MeshResultsDir
+    db = MeshResultsDir(fake_results_dir)
+    assert db.files("bed") == ["res0.ply", "res1.ply"]
+    assert db.pick("no_such_cat", 0) is None
+    v0, f0 = db.pick("bed", 0)
+    v2, _ = db.pick("bed", 2)           # deterministic: index % len
+    np.testing.assert_allclose(v0, v2)
+    assert f0.shape == (12, 3)
+
+
+def test_assemble_and_render_txt2shape(fake_results_dir, tmp_path):
+    from echoscene_tpu.eval.retrieval import (MeshResultsDir,
+                                              assemble_scene_txt2shape,
+                                              render_scene_txt2shape)
+    db = MeshResultsDir(fake_results_dir)
+    classes = ["_scene_", "bed", "table", "floor", "unknown_cat"]
+    objs = [1, 2, 0, 3, 4]
+    boxes7 = np.array([
+        [2.0, 0.5, 1.6, 0, 0, 0, 0.0],
+        [0.8, 0.7, 0.8, 1.5, 0, 1.5, 0.3],
+        [1, 1, 1, 0, 0, 0, 0],            # _scene_: skipped
+        [4, 0.1, 4, 0, 0, 0, 0],          # floor: skipped
+        [1, 1, 1, -1, 0, -1, 0],          # no results: box fallback
+    ], np.float32)
+    mesh_dir = str(tmp_path / "meshes")
+    verts, tris, colors = assemble_scene_txt2shape(
+        objs, boxes7, classes, db, mesh_dir=mesh_dir)
+    assert len(tris) == 2 + 12 + 12 + 12 and len(tris) == len(colors)
+    exported = sorted(os.listdir(mesh_dir))
+    assert any(e.startswith("bed_") for e in exported)
+    assert any(e.startswith("table_") for e in exported)
+
+    # the fitted bed mesh must match the predicted box extents (the mode
+    # SCALES results into the box, unlike retrieval placement)
+    bed_v = verts[4:12]                   # floor quad (4 verts) comes first
+    ext = bed_v.max(0) - bed_v.min(0)
+    # box7 = [l, h, w, ...] with l along x after the -pi/2 canonical yaw:
+    # fit_verts_to_box scales per-axis to (l, h, w)
+    np.testing.assert_allclose(sorted(ext), sorted([2.0, 0.5, 1.6]), atol=1e-4)
+
+    img = render_scene_txt2shape(objs, boxes7, classes, db)
+    assert img.shape == (256, 256, 3) and img.dtype == np.uint8
+    assert (img != 255).any()
