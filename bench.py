@@ -3,13 +3,18 @@
 Measures the north-star metric (BASELINE.json): scenes/sec for COMPLETE scene
 generation — 1000-step layout DDPM chain + 100-step shape DDIM chain (echo
 GCN inside every denoising step of both) + VQ-VAE decode to 64^3 SDF grids —
-at flagship model dimensions.
+at flagship model dimensions.  The single JSON line additionally records
+  * fast_profile: the opt-in serving configuration (int8 W8A8 shape-UNet
+    convs + DPM-Solver++(2M) 50-step layout / 20-step shape), and
+  * train_scenes_per_sec: the flagship train step (8 scenes, f32, both
+    branches + AdamW), timed as one dispatched lax.scan of 8 steps,
+so the driver-captured BENCH_r{N}.json catches regressions in all three.
 
 The reference never measured throughput (its timing code is commented out,
 train_3dfront.py:283-285).  `vs_baseline` is measured against a reference-cost
 model derived from its sampling structure: 1100 host-driven denoiser
 dispatches per scene batch at a conservative 10 ms/step GPU dispatch+compute
-plus VQ decode -> ~0.09 scenes/sec for an 8-scene batch.  See BASELINE.md.
+plus VQ decode -> ~0.09 scenes/sec.  See BASELINE.md.
 
 Prints exactly one JSON line.
 """
@@ -25,7 +30,8 @@ REFERENCE_SCENES_PER_SEC = 0.09
 
 
 def main():
-    from echoscene_tpu.benchmarks import build_flagship, time_generation
+    from echoscene_tpu.benchmarks import (build_flagship, time_generation,
+                                          time_train_step)
 
     batch_scenes = 8
     # tight node capacity: padded rows cost full denoiser FLOPs in the chains
@@ -33,12 +39,26 @@ def main():
                                       diffusion_bs=8,
                                       batch_scenes=batch_scenes)
     scenes_per_sec = time_generation(sg, state, batch, batch_scenes)
+    # train step second: time_train_step donates/consumes the state buffers
+    train_sps = time_train_step(sg, state, batch, batch_scenes)
+    del sg, state, batch
+
+    sg_f, state_f, batch_f = build_flagship(max_nodes=48, max_triples=112,
+                                            diffusion_bs=8,
+                                            batch_scenes=batch_scenes,
+                                            fast_profile=True)
+    fast_sps = time_generation(sg_f, state_f, batch_f, batch_scenes)
+
     print(json.dumps({
         "metric": "scenes/sec (full generation: 1000-step layout DDPM + "
                   "100-step shape DDIM + VQ decode, 8-scene batch)",
         "value": round(scenes_per_sec, 4),
         "unit": "scenes/sec",
         "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 2),
+        "fast_profile": round(fast_sps, 4),
+        "fast_profile_desc": "opt-in serving config: int8 convs + DPM++(2M) "
+                             "50-step layout / 20-step shape",
+        "train_scenes_per_sec": round(train_sps, 2),
     }))
 
 

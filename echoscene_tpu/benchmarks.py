@@ -19,7 +19,8 @@ def build_flagship(max_nodes: int = 64, max_triples: int = 128,
                    diffusion_bs: int = 8, batch_scenes: int = 8,
                    tiny: bool = False,
                    config_path: Optional[str] = None,
-                   sample_dtype: Optional[str] = None) -> Tuple:
+                   sample_dtype: Optional[str] = None,
+                   fast_profile: bool = False) -> Tuple:
     """Flagship EchoScene (full_mp.yaml dims) + one synthetic collated batch.
 
     Returns (sgdiff, train_state, scene_batch).  `tiny=True` keeps the
@@ -50,6 +51,15 @@ def build_flagship(max_nodes: int = 64, max_triples: int = 128,
     cfg.batch_scenes = batch_scenes
     if sample_dtype is not None:
         cfg.sample_dtype = sample_dtype
+    if fast_profile:
+        # the opt-in serving configuration (BASELINE.md): int8 W8A8 shape-UNet
+        # convs + DPM-Solver++(2M) 50-step layout / 20-step shape chains —
+        # jointly quality-validated on the synthetic-trained model
+        cfg.sample_dtype = "int8"
+        cfg.layout_diffusion.sampler = "dpmpp"
+        cfg.layout_diffusion.sample_steps = 50
+        cfg.shape_branch.sampler = "dpmpp"
+        cfg.shape_branch.ddim_steps = 20
     if tiny:
         shrink_config(cfg)
     spec = CollateSpec(max_nodes=max_nodes, max_triples=max_triples,
@@ -64,16 +74,25 @@ def build_flagship(max_nodes: int = 64, max_triples: int = 128,
 
 
 def shrink_config(cfg) -> None:
-    """Structurally identical, narrow widths for CPU dry runs."""
-    cfg.shape_branch.ddim_steps = 4
+    """Structurally identical, narrow widths for CPU dry runs.
+
+    Compile time on the single-core CPU image scales with HLO op COUNT, not
+    widths — the deepest cuts are the six 5-layer echo/encoder GCNs
+    (gconv_num_layers) and head counts, not channel sizes (MULTICHIP_r02
+    post-mortem: the r2 dryrun timed out at 8+ min; these cuts brought the
+    full train + dp x tp sample dryrun under the 5-min budget)."""
+    cfg.gconv_num_layers = 2
+    cfg.shape_branch.ddim_steps = 3
     cfg.embedding_dim = 8
     cfg.layout_denoiser.model_channels = 32
     cfg.layout_denoiser.channel_mult = (1, 1)
     cfg.layout_denoiser.num_res_blocks = 1
+    cfg.layout_denoiser.num_heads = 2
+    cfg.layout_denoiser.gconv_num_layers = 2
     cfg.layout_denoiser.concat_dim = 32
     cfg.layout_denoiser.crossattn_dim = 32
     cfg.layout_denoiser.use_checkpoint = False
-    cfg.layout_diffusion.time_num = 8
+    cfg.layout_diffusion.time_num = 6
     sd = cfg.shape_branch.denoiser
     sd.image_size = 4
     sd.model_channels = 8
@@ -82,6 +101,8 @@ def shrink_config(cfg) -> None:
     sd.context_dim = 32
     sd.timesteps = 8
     sd.use_checkpoint = False
+    sd.gconv_num_layers = 2
+    sd.num_heads = 2
     vq = cfg.shape_branch.vqvae
     vq.ch = 4
     vq.n_embed = 16
@@ -119,3 +140,41 @@ def time_generation(sg, state, batch, batch_scenes: int, n_iters: int = 3,
     dt = (time.perf_counter() - t0) / n_iters
     assert acc == acc  # consume the readback (guards DCE)
     return batch_scenes / dt
+
+
+def time_train_step(sg, state, batch, batch_scenes: int, k: int = 8,
+                    rng_seed: int = 17) -> float:
+    """Train-step scenes/sec/chip, measured as ONE dispatched lax.scan of `k`
+    optimizer steps (host-driven per-step dispatch timing through the tunnel
+    is too noisy to trust for ~200 ms programs — BASELINE.md r2 notes)."""
+    import functools
+
+    import jax
+    import optax
+
+    tx = sg.ensure_tx(state.params)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(carry, b, rngs):
+        def body(c, rng):
+            params, bstats, opt = c
+            (loss, (new_bs, _)), grads = jax.value_and_grad(
+                sg.loss_fn, has_aux=True)(params, bstats, b, rng)
+            updates, new_opt = tx.update(grads, opt, params)
+            new_params = optax.apply_updates(params, updates)
+            return (new_params, new_bs, new_opt), loss
+        return jax.lax.scan(body, carry, rngs)
+
+    carry = (state.params, state.batch_stats, state.opt_state)
+    carry, losses = run(carry, batch, jax.random.split(
+        jax.random.PRNGKey(rng_seed), k))          # compile + warm
+    jax.block_until_ready(carry)
+    float(losses.sum())                            # D2H readback
+    t0 = time.perf_counter()
+    carry, losses = run(carry, batch, jax.random.split(
+        jax.random.PRNGKey(rng_seed + 1), k))
+    jax.block_until_ready(carry)
+    acc = float(losses.sum())
+    dt = time.perf_counter() - t0
+    assert acc == acc
+    return batch_scenes * k / dt

@@ -32,10 +32,14 @@ def evaluate(args):
 
     clip = ClipTextEncoder(margs.get("clip_backend", "hash"))
 
+    # eval-time room filter override (reference eval_3dfront.py:35 takes
+    # --room_type independent of training)
+    room_type = args.room_type or margs["room_type"]
+
     def make_ds(etype):
         return SGFrontDataset(
             root=args.dataset or margs["dataset"], split="test",
-            room_type=margs["room_type"], shuffle_objs=False,
+            room_type=room_type, shuffle_objs=False,
             use_sdf=margs["with_SDF"], use_scene_rels=margs["use_scene_rels"],
             with_changes=etype != "none", eval_mode=etype != "none",
             eval_type=etype, large=margs["large"], clip=clip, seed=47,
@@ -95,7 +99,8 @@ def evaluate(args):
         store_path=args.store_path, render_dir=args.render_dir,
         dump_sdfs=args.dump_sdfs, eval_batch=args.eval_batch,
         dp_devices=args.dp_devices, render_type=args.render_type,
-        mesh_db=mesh_db, txt2shape_db=txt2shape_db, bin_angle=bin_angle)
+        mesh_db=mesh_db, txt2shape_db=txt2shape_db, bin_angle=bin_angle,
+        export_3d=args.export_3d, export_glb=args.export_glb)
 
     key = jax.random.PRNGKey(47)
     results = {}
@@ -157,6 +162,16 @@ def build_parser():
     p.add_argument("--sample_dtype", default=None,
                    choices=["float32", "bfloat16", "int8"],
                    help="override sampling precision (int8 = experimental)")
+    p.add_argument("--room_type", default=None,
+                   help="override the training room filter at eval time "
+                        "(reference eval_3dfront.py:35; default: args.json)")
+    p.add_argument("--export_3d", action="store_true",
+                   help="per-scene JSON dump of generated boxes + shape "
+                        "refs (the reference parses this flag but its "
+                        "implementation is dead, eval_3dfront.py:34)")
+    p.add_argument("--export_glb", action="store_true",
+                   help="export a .glb scene next to each render "
+                        "(render_full :313 / render_box :228)")
     return p
 
 

@@ -53,9 +53,16 @@ class SceneEvaluator:
                  render_dir: Optional[str] = None,
                  dump_sdfs: bool = False, eval_batch: int = 1,
                  dp_devices: int = 1, render_type: str = "echoscene",
-                 mesh_db=None, txt2shape_db=None, bin_angle: bool = False):
+                 mesh_db=None, txt2shape_db=None, bin_angle: bool = False,
+                 export_3d: bool = False, export_glb: bool = False):
         import jax
         self.bin_angle = bin_angle
+        # --export_3d: per-scene JSON of generated boxes (+shape refs).  The
+        # reference PARSES this flag but never consumes it
+        # (eval_3dfront.py:34 is dead); this implements the documented intent.
+        self.export_3d = export_3d
+        # .glb scene export alongside the render (render_full :313)
+        self.export_glb = export_glb
         self.sg = sg
         self.state = state
         self.spec = spec
@@ -129,14 +136,16 @@ class SceneEvaluator:
                     [ds.vocab["object_idx_to_name"][c].rstrip("\n")
                      for c in ex.objs]))
         if self.render_dir:
-            from .render import render_scene_topdown, save_png
+            from .. import native
+            from .render import (assemble_scene, export_glb as write_glb,
+                                 save_png)
             boxes7 = np.concatenate([boxes6, angles], -1)
             names = ds.vocab["object_idx_to_name"]
             if self.render_type == "retrieval":
                 # eval_3dfront.py --render_type retrieval: database meshes by
                 # predicted size (the layout-only shape-visualization path)
-                from .retrieval import render_scene_retrieval
-                img = render_scene_retrieval(
+                from .retrieval import assemble_scene_retrieval
+                verts, tris, colors = assemble_scene_retrieval(
                     ex.objs, boxes7, names, self.mesh_db,
                     mesh_dir=os.path.join(self.render_dir, "object_meshes",
                                           ex.scan_id))
@@ -144,19 +153,45 @@ class SceneEvaluator:
                 # eval_3dfront.py --render_type txt2shape: pre-generated
                 # per-category result meshes fitted to the predicted boxes
                 # (get_sdfusion_models, helpers/util.py:334-374)
-                from .retrieval import render_scene_txt2shape
-                img = render_scene_txt2shape(
+                from .retrieval import assemble_scene_txt2shape
+                verts, tris, colors = assemble_scene_txt2shape(
                     ex.objs, boxes7, names, self.txt2shape_db,
                     mesh_dir=os.path.join(self.render_dir, "object_meshes",
                                           ex.scan_id))
-            elif self.render_type == "onlybox":
-                img = render_scene_topdown(ex.objs, boxes7, names, None)
             else:
                 sdfs = None
-                if self.gen_shape and out_slice.get("shapes") is not None:
+                if (self.render_type != "onlybox" and self.gen_shape
+                        and out_slice.get("shapes") is not None):
                     sdfs = out_slice["shapes"][..., 0]
-                img = render_scene_topdown(ex.objs, boxes7, names, sdfs)
+                verts, tris, colors = assemble_scene(ex.objs, boxes7, names,
+                                                     sdfs)
+            img = native.rasterize_topdown(verts, tris, colors,
+                                           width=256, height=256)
             save_png(img, os.path.join(self.render_dir, f"{ex.scan_id}.png"))
+            if self.export_glb:
+                # reference render paths export a .glb scene per render
+                # (render_full :313 / render_box :228)
+                write_glb(os.path.join(self.render_dir,
+                                       f"{ex.scan_id}_{self.render_type}.glb"),
+                          verts, tris, colors)
+            if etype != "none":
+                # manipulation overlay: changed nodes (keep==0) tinted red
+                # (render_box/render_full mani modes,
+                # helpers/visualize_scene.py:156-239)
+                if self.render_type in ("retrieval", "txt2shape"):
+                    sdfs_o = None
+                else:
+                    sdfs_o = (out_slice["shapes"][..., 0]
+                              if self.gen_shape
+                              and out_slice.get("shapes") is not None
+                              and self.render_type != "onlybox" else None)
+                ov, ot, oc = assemble_scene(ex.objs, boxes7, names, sdfs_o,
+                                            highlight=(keep == 0))
+                img_m = native.rasterize_topdown(ov, ot, oc,
+                                                 width=256, height=256)
+                save_png(img_m, os.path.join(self.render_dir,
+                                             f"{ex.scan_id}_mani.png"))
+        gen_boxes6 = boxes6
         if etype != "none":
             # untouched nodes keep their GT boxes (eval_3dfront.py:191-202)
             if self.bin_angle:
@@ -173,6 +208,32 @@ class SceneEvaluator:
         else:
             validate_constrains(ex.triples, boxes6, None,
                                 ds.vocab["pred_idx_to_name"], acc)
+        if self.export_3d:
+            # the reference's (dead) --export_3d intent: per-scene JSON of
+            # generated boxes + shape refs for downstream reuse
+            # (eval_3dfront.py:34)
+            import json
+            d = os.path.join(self.store_path, "export_3d")
+            os.makedirs(d, exist_ok=True)
+            rec = {
+                "scan_id": ex.scan_id,
+                "objs": [int(c) for c in ex.objs],
+                "classes": [ds.vocab["object_idx_to_name"][c].rstrip("\n")
+                            for c in ex.objs],
+                "triples": np.asarray(ex.triples).tolist(),
+                "angle_unit": "radians",
+                "boxes_generated": np.concatenate(
+                    [gen_boxes6, angles], -1).astype(float).tolist(),
+                "keep": np.asarray(keep).astype(int).tolist(),
+            }
+            if etype != "none":
+                rec["boxes_scored"] = np.concatenate(
+                    [boxes6, angles], -1).astype(float).tolist()
+            if self.gen_shape and self.dump_sdfs:
+                rec["sdf_file"] = f"{ex.scan_id}.npz"
+            with open(os.path.join(d, f"{etype}_{ex.scan_id}.json"),
+                      "w") as f:
+                json.dump(rec, f, indent=1)
 
     # ------------------------------------------------------------------
     def run(self, ds, etype: str, limit: int, key):

@@ -88,13 +88,24 @@ def sdf_to_canonical_mesh(sdf_grid: np.ndarray, level: float = 0.0):
     return verts, tris
 
 
+HIGHLIGHT_COLOR = np.array([0.95, 0.08, 0.08], np.float32)
+
+
 def assemble_scene(objs: Sequence[int], boxes7: np.ndarray,
                    class_names: Sequence[str],
                    sdfs: Optional[np.ndarray] = None,
                    skip_classes: Sequence[str] = ("_scene_",),
                    without_lamp: bool = True,
-                   floor_extent: float = 5.0):
-    """-> (verts (V,3), tris (T,3), tri_colors (T,3)) for the whole scene."""
+                   floor_extent: float = 5.0,
+                   highlight: Optional[Sequence[bool]] = None):
+    """-> (verts (V,3), tris (T,3), tri_colors (T,3)) for the whole scene.
+
+    `highlight[i]` truthy tints object i toward red — the manipulation
+    overlay (reference render_box/render_full `mani` modes splice
+    manipulated-node meshes into the pre-manipulation scene,
+    helpers/visualize_scene.py:156-239; here changed nodes are tinted in
+    one render instead, which distinguishes them equally and stays
+    single-pass)."""
     all_v: List[np.ndarray] = []
     all_t: List[np.ndarray] = []
     all_c: List[np.ndarray] = []
@@ -123,17 +134,20 @@ def assemble_scene(objs: Sequence[int], boxes7: np.ndarray,
             continue
         if without_lamp and name == "lamp":
             continue
+        color = class_color(name)
+        if highlight is not None and bool(highlight[i]):
+            color = 0.45 * color + 0.55 * HIGHLIGHT_COLOR
         if sdfs is not None and np.abs(sdfs[i]).sum() > 1e-6:
             cv, ct = sdf_to_canonical_mesh(sdfs[i])
             if len(ct) == 0:
                 cv, ct = box_mesh(boxes7[i])
-                add(cv, ct, class_color(name))
+                add(cv, ct, color)
                 continue
             cv = fit_verts_to_box(cv, boxes7[i])
-            add(cv, ct, class_color(name))
+            add(cv, ct, color)
         else:
             cv, ct = box_mesh(boxes7[i])
-            add(cv, ct, class_color(name))
+            add(cv, ct, color)
 
     if not all_v:
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32),
@@ -224,6 +238,99 @@ def export_ply(path: str, verts: np.ndarray, tris: Optional[np.ndarray] = None):
         if tris is not None:
             for t in tris:
                 f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def export_glb(path: str, verts: np.ndarray, tris: np.ndarray,
+               tri_colors: Optional[np.ndarray] = None):
+    """Binary glTF 2.0 scene export (render_full/render_box export a trimesh
+    Scene .glb per scene, helpers/visualize_scene.py:313, :228).
+
+    Self-contained writer (no trimesh in this image): one non-indexed
+    triangle primitive with POSITION + COLOR_0 vertex attributes; flat
+    per-triangle colors are realised by de-indexing (3 verts per tri).
+    """
+    import json as _json
+    import struct
+
+    verts = np.asarray(verts, np.float32)
+    tris = np.asarray(tris, np.int64).reshape(-1, 3)
+    pos = verts[tris.reshape(-1)]                      # (3T, 3) de-indexed
+    if tri_colors is None:
+        tri_colors = np.tile(np.array([[0.6, 0.6, 0.6]], np.float32),
+                             (len(tris), 1))
+    col = np.repeat(np.asarray(tri_colors, np.float32), 3, axis=0)
+    n = len(pos)
+
+    pos_b = pos.astype("<f4").tobytes()
+    col_b = col.astype("<f4").tobytes()
+    bin_blob = pos_b + col_b
+    pad_bin = (-len(bin_blob)) % 4
+    bin_blob += b"\x00" * pad_bin
+
+    if n:
+        pmin = [float(x) for x in pos.min(0)]
+        pmax = [float(x) for x in pos.max(0)]
+    else:
+        pmin = pmax = [0.0, 0.0, 0.0]
+    gltf = {
+        "asset": {"version": "2.0", "generator": "echoscene_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [
+            {"attributes": {"POSITION": 0, "COLOR_0": 1}, "mode": 4}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": n,
+             "type": "VEC3", "min": pmin, "max": pmax},
+            {"bufferView": 1, "componentType": 5126, "count": n,
+             "type": "VEC3"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(pos_b),
+             "target": 34962},
+            {"buffer": 0, "byteOffset": len(pos_b), "byteLength": len(col_b),
+             "target": 34962},
+        ],
+        "buffers": [{"byteLength": len(bin_blob)}],
+    }
+    json_blob = _json.dumps(gltf, separators=(",", ":")).encode()
+    json_blob += b" " * ((-len(json_blob)) % 4)
+
+    total = 12 + 8 + len(json_blob) + 8 + len(bin_blob)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<4sII", b"glTF", 2, total))
+        f.write(struct.pack("<I4s", len(json_blob), b"JSON"))
+        f.write(json_blob)
+        f.write(struct.pack("<I4s", len(bin_blob), b"BIN\x00"))
+        f.write(bin_blob)
+
+
+def read_glb(path: str):
+    """Read back an export_glb file -> (positions (N,3), colors (N,3))."""
+    import json as _json
+    import struct
+
+    with open(path, "rb") as f:
+        magic, version, _length = struct.unpack("<4sII", f.read(12))
+        assert magic == b"glTF" and version == 2, (magic, version)
+        jlen, jtype = struct.unpack("<I4s", f.read(8))
+        assert jtype == b"JSON"
+        gltf = _json.loads(f.read(jlen))
+        blen, btype = struct.unpack("<I4s", f.read(8))
+        assert btype == b"BIN\x00"
+        blob = f.read(blen)
+    prim = gltf["meshes"][0]["primitives"][0]
+
+    def acc_data(idx):
+        acc = gltf["accessors"][idx]
+        bv = gltf["bufferViews"][acc["bufferView"]]
+        off = bv.get("byteOffset", 0)
+        raw = blob[off:off + bv["byteLength"]]
+        return np.frombuffer(raw, "<f4").reshape(acc["count"], 3)
+
+    return (acc_data(prim["attributes"]["POSITION"]),
+            acc_data(prim["attributes"]["COLOR_0"]))
 
 
 def read_ply(path: str):

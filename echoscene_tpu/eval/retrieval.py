@@ -165,6 +165,22 @@ class MeshResultsDir:
         self.root = root
         self._files: Dict[str, List[str]] = {}
         self._mesh_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        # A mistyped --txt2shape_dir must fail loudly, not silently degrade
+        # every object to the solid-box fallback.
+        if not os.path.isdir(root):
+            raise FileNotFoundError(
+                f"txt2shape mesh database not found: {root!r}")
+        has_ply = any(
+            os.path.isdir(os.path.join(root, d)) and any(
+                f.endswith(".ply")
+                for f in os.listdir(os.path.join(root, d)))
+            for d in os.listdir(root))
+        if not has_ply:
+            import warnings
+            warnings.warn(
+                f"txt2shape mesh database {root!r} contains no "
+                "<label>/*.ply results; all objects will render as solid "
+                "boxes", stacklevel=2)
 
     def files(self, label: str) -> List[str]:
         if label not in self._files:
@@ -197,32 +213,34 @@ def assemble_scene_txt2shape(objs: Sequence[int], boxes7: np.ndarray,
     yaw + translate via fit_shapes_to_box_v2 semantics — unlike retrieval,
     which only places).  Categories with no results fall back to a solid
     box.  `mesh_dir` exports match the reference's
-    `<label>_<cat>_<instance>.obj` naming (:364)."""
+    `<label>_<cat>_<instance>.obj` naming AND content (:363-364): the RAW
+    pre-fit mesh is exported, and lamps are exported (instance advancing)
+    before `without_lamp` drops them from the render only (:366-367)."""
     from .render import box_mesh, export_obj, fit_verts_to_box
 
     acc = _SceneAccum(floor_extent)
     instance = 1
     for i, cid in enumerate(objs):
         name = class_names[int(cid)].rstrip("\n")
-        if name in skip_classes or (without_lamp and name == "lamp"):
+        if name in skip_classes:
             continue
         color = class_color(name)
         got = db.pick(name, i)
-        if got is None:
+        if got is None or got[1] is None or len(got[1]) == 0:
+            if without_lamp and name == "lamp":
+                continue
             cv, ct = box_mesh(boxes7[i])
             acc.add(cv, ct, color)
             continue
         mv, mt = got
-        if mt is None or len(mt) == 0:
-            cv, ct = box_mesh(boxes7[i])
-            acc.add(cv, ct, color)
-            continue
-        mv = fit_verts_to_box(mv, boxes7[i])
         if mesh_dir:
             os.makedirs(mesh_dir, exist_ok=True)
             export_obj(os.path.join(
                 mesh_dir, f"{name}_{int(cid)}_{instance}.obj"), mv, mt)
         instance += 1
+        mv = fit_verts_to_box(mv, boxes7[i])
+        if without_lamp and name == "lamp":
+            continue
         acc.add(mv, mt, color)
     return acc.result()
 

@@ -32,6 +32,9 @@ class LayoutDenoiserConfig:
     use_checkpoint: bool = True
     enable_t_emb: bool = True
     using_clip: bool = True
+    # echo GCN depth inside the denoiser (reference box_graph_cov: 5 layers,
+    # denoise_net.py:716-740); configurable so CPU dry runs can shrink it
+    gconv_num_layers: int = 5
 
 
 @dataclass
@@ -66,6 +69,9 @@ class ShapeDenoiserConfig:
     transformer_depth: int = 1
     context_dim: int = 1280
     use_checkpoint: bool = True
+    # echo GCN depth (reference shape_code_graph_cov: 5 layers,
+    # openai_model_3d.py:744-782); configurable for CPU dry runs
+    gconv_num_layers: int = 5
     message_passing: bool = True
     enable_t_emb: bool = True
     conditioning_key: str = "crossattn"

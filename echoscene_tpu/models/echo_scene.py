@@ -101,6 +101,7 @@ class EchoSceneModule(nn.Module):
                 context_dim=sd.context_dim,
                 conditioning_key=sd.conditioning_key,
                 message_passing=sd.message_passing,
+                gconv_num_layers=getattr(sd, "gconv_num_layers", 5),
                 enable_t_emb=sd.enable_t_emb,
                 use_checkpoint=sd.use_checkpoint,
                 fused_conv=getattr(sd, "fused_conv", False),
@@ -126,6 +127,7 @@ class EchoSceneModule(nn.Module):
             transformer_depth=ld.transformer_depth,
             conditioning_key=ld.conditioning_key, concat_dim=ld.concat_dim,
             crossattn_dim=ld.crossattn_dim, using_clip=ld.using_clip,
+            gconv_num_layers=getattr(ld, "gconv_num_layers", 5),
             enable_t_emb=ld.enable_t_emb, use_checkpoint=ld.use_checkpoint,
             num_preds=16, dtype=adt)  # layout chain is <3% of sample time
 

@@ -58,17 +58,26 @@ def _label_params(params) -> Any:
 
 
 def make_optimizer(cfg: EchoSceneConfig, params):
-    tx = optax.multi_transform(
-        {"train": optax.adamw(lr_schedule(cfg)),
-         "frozen": optax.set_to_zero()},
-        _label_params(params))
+    # clip/NaN-sanitize live INSIDE the chain (before adamw) so that under
+    # MultiSteps they run on the ACCUMULATED mean grad — matching the
+    # reference's once-per-optimizer-step clip of the full effective-batch
+    # grad (train_3dfront.py:253-259) rather than clipping each microbatch.
+    tx = optax.chain(
+        clip_and_sanitize_transform(),
+        optax.multi_transform(
+            {"train": optax.adamw(lr_schedule(cfg)),
+             "frozen": optax.set_to_zero()},
+            _label_params(params)))
     accum = int(getattr(cfg, "grad_accum", 1) or 1)
     if accum > 1:
         # Gradient accumulation: each train_step call feeds one microbatch;
         # the inner tx (and so the lr schedule's step count — the reference's
         # per-optimizer-step LambdaLR semantics, EchoScene.py:117-128) only
         # advances every `accum` calls, applying the MEAN of the accumulated
-        # grads.  Restores the reference's effective batch 64 on one chip.
+        # grads.  Approximates the reference's effective batch 64 on one chip
+        # (equal-weight mean over microbatches; the reference's single mean
+        # over all valid objects weights scenes by object count, so the two
+        # differ when object counts vary across microbatches).
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx
 
@@ -102,6 +111,20 @@ def clip_and_sanitize_grads(grads, max_norm: float = 5.0):
         grads = dict(grads)
         grads["shape_denoiser"] = clip_subtree(grads["shape_denoiser"])
     return jax.tree.map(lambda g: jnp.nan_to_num(g, nan=0.0), grads)
+
+
+def clip_and_sanitize_transform(max_norm: float = 5.0):
+    """`clip_and_sanitize_grads` as an optax transform, chained before adamw
+    in `make_optimizer` so MultiSteps feeds it the accumulated MEAN grad."""
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return clip_and_sanitize_grads(updates, max_norm), state
+
+    return optax.GradientTransformation(init, update)
 
 
 class SGDiff:
@@ -273,12 +296,13 @@ class SGDiff:
             (loss, (new_bs, metrics)), grads = jax.value_and_grad(
                 self.loss_fn, has_aux=True)(state.params, state.batch_stats,
                                             batch, rng)
-            grads = clip_and_sanitize_grads(grads)
+            # clip/NaN-sanitize happen inside tx (make_optimizer) so that
+            # grad accumulation clips the accumulated mean, not microbatches
             tx = tx_holder["tx"]
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             metrics["loss"] = loss
-            metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["grad_norm"] = optax.global_norm(grads)  # pre-clip
             new_state = state.replace(step=state.step + 1, params=new_params,
                                       batch_stats=new_bs, opt_state=new_opt)
             return new_state, metrics

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.sgdiff import SGDiff, TrainState, clip_and_sanitize_grads
+from ..models.sgdiff import SGDiff, TrainState
 
 
 def build_dp_train_step(sgdiff: SGDiff, mesh: Mesh, axis: str = "data",
@@ -46,7 +46,7 @@ def build_dp_train_step(sgdiff: SGDiff, mesh: Mesh, axis: str = "data",
         new_bs = jax.lax.pmean(new_bs, axis)
         metrics = jax.lax.pmean(metrics, axis)
         metrics["loss"] = jax.lax.pmean(loss, axis)
-        grads = clip_and_sanitize_grads(grads)
+        # clip/NaN-sanitize run inside tx on the pmean-ed grad (make_optimizer)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,

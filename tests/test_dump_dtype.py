@@ -24,6 +24,8 @@ def test_dumped_sdfs_are_float32(tmp_path):
     ev.dump_sdfs = True
     ev.render_dir = None
     ev.bin_angle = False
+    ev.export_3d = False
+    ev.export_glb = False
     ev.store_path = str(tmp_path)
     ev.stats = np.asarray([0, 0, 0, 1, 1, 1, 0, 0, 0, 1, 1, 1, 0, 1],
                           np.float32)

@@ -165,3 +165,51 @@ def test_assemble_and_render_txt2shape(fake_results_dir, tmp_path):
     img = render_scene_txt2shape(objs, boxes7, classes, db)
     assert img.shape == (256, 256, 3) and img.dtype == np.uint8
     assert (img != 255).any()
+
+
+def test_txt2shape_exports_raw_prefit_and_lamps(fake_results_dir, tmp_path):
+    """Export parity with get_sdfusion_models (helpers/util.py:363-367): the
+    exported OBJ is the RAW pre-fit mesh, and lamps are exported (advancing
+    the instance counter) before without_lamp drops them from the render."""
+    from echoscene_tpu.eval.render import export_ply
+    from echoscene_tpu.eval.retrieval import (MeshResultsDir,
+                                              assemble_scene_txt2shape)
+    from echoscene_tpu.eval.retrieval import read_obj
+
+    # add a lamp category to the results db
+    lv, lf = _cube(0.4, 1.2, 0.4)
+    d = os.path.join(fake_results_dir, "lamp")
+    os.makedirs(d, exist_ok=True)
+    export_ply(os.path.join(d, "res0.ply"), lv, lf)
+
+    classes = ["bed", "lamp", "table"]
+    objs = [0, 1, 2]
+    boxes7 = np.array([
+        [2.0, 0.5, 1.6, 0, 0, 0, 0.0],
+        [0.5, 1.5, 0.5, 2, 0, 2, 0.0],
+        [0.8, 0.7, 0.8, 1.5, 0, 1.5, 0.3],
+    ], np.float32)
+    mesh_dir = str(tmp_path / "m")
+    verts, tris, colors = assemble_scene_txt2shape(
+        objs, boxes7, classes, db=MeshResultsDir(fake_results_dir),
+        mesh_dir=mesh_dir, without_lamp=True)
+    exported = sorted(os.listdir(mesh_dir))
+    # lamp exported with instance 2; table still numbered AFTER it (3)
+    assert exported == ["bed_0_1.obj", "lamp_1_2.obj", "table_2_3.obj"]
+    # exported bed is the RAW result mesh (extent 1x1x1 cube), NOT fitted
+    # to the 2.0 x 0.5 x 1.6 box
+    bv, _ = read_obj(os.path.join(mesh_dir, "bed_0_1.obj"))
+    np.testing.assert_allclose(bv.max(0) - bv.min(0), [1.0, 1.0, 1.0],
+                               atol=1e-5)
+    # lamp dropped from the RENDER only: floor quad + bed cube + table cube
+    assert len(tris) == 2 + 12 + 12
+
+
+def test_mesh_results_dir_validates_root(tmp_path):
+    from echoscene_tpu.eval.retrieval import MeshResultsDir
+    with pytest.raises(FileNotFoundError):
+        MeshResultsDir(str(tmp_path / "nope"))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.warns(UserWarning, match="no .*ply"):
+        MeshResultsDir(str(empty))
