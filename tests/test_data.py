@@ -157,6 +157,7 @@ def test_collate_nongreedy_shape_sampling(fake_root, mode):
             assert len(set(cats)) >= min(len(cats), 2) or len(cats) == 1
 
 
+@pytest.mark.slow  # full dual-branch loss compile (~65 s on the 1-core image)
 def test_train_forward_nongreedy_runs(fake_root):
     """End-to-end loss with random shape sampling + message passing off."""
     import jax
@@ -176,8 +177,8 @@ def test_train_forward_nongreedy_runs(fake_root):
                            rng=np.random.default_rng(0))
     sg = SGDiff(cfg, num_objs=len(ds.classes), num_preds=len(ds.pred_names))
     state = sg.init(jax.random.PRNGKey(0), batch)
-    loss, (_, metrics) = sg.loss_fn(state.params, state.batch_stats, batch,
-                                    jax.random.PRNGKey(1))
+    loss, (_, metrics) = jax.jit(sg.loss_fn)(
+        state.params, state.batch_stats, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
     assert float(metrics["shape_loss"]) > 0
 

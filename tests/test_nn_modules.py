@@ -41,20 +41,32 @@ TINY_1D = dict(model_channels=32, num_res_blocks=1, channel_mult=(1, 1),
                attention_resolutions=(2,), num_heads=4, concat_dim=48,
                crossattn_dim=48, gconv_dim=8, gconv_num_layers=2)
 
+_LAYOUT_CACHE = {}
+
+
+def _layout_model(key: str):
+    """Module-level cache: ONE jitted init per conditioning key (init
+    compiles dominate suite wall time on the 1-core image)."""
+    if key not in _LAYOUT_CACHE:
+        r = np.random.default_rng(11)
+        N, T = 6, 9
+        box = jnp.asarray(r.normal(size=(N, 8)).astype(np.float32))
+        obj = jnp.asarray(r.normal(size=(N, 24)).astype(np.float32))
+        tri = jnp.asarray(np.stack(
+            [r.integers(0, N, T), r.integers(0, 16, T),
+             r.integers(0, N, T)], 1).astype(np.int32))
+        t = jnp.asarray(r.integers(0, 1000, N).astype(np.int32))
+        model = LayoutDenoiser(conditioning_key=key, **TINY_1D)
+        vars_ = jax.jit(model.init)(jax.random.PRNGKey(0), box, obj, tri, t)
+        out = jax.jit(model.apply)(vars_, box, obj, tri, t)
+        _LAYOUT_CACHE[key] = (model, vars_, (box, obj, tri, t), out)
+    return _LAYOUT_CACHE[key]
+
 
 @pytest.mark.parametrize("key", ["crossattn", "concat"])
-def test_layout_denoiser_shapes(key, rng):
-    N, T = 6, 9
-    box_t = jnp.asarray(rng.normal(size=(N, 8)).astype(np.float32))
-    obj_embed = jnp.asarray(rng.normal(size=(N, 24)).astype(np.float32))
-    triples = jnp.asarray(
-        np.stack([rng.integers(0, N, T), rng.integers(0, 16, T),
-                  rng.integers(0, N, T)], 1).astype(np.int32))
-    t = jnp.asarray(rng.integers(0, 1000, N).astype(np.int32))
-    model = LayoutDenoiser(conditioning_key=key, **TINY_1D)
-    vars_ = model.init(jax.random.PRNGKey(0), box_t, obj_embed, triples, t)
-    out = model.apply(vars_, box_t, obj_embed, triples, t)
-    assert out.shape == (N, 8)
+def test_layout_denoiser_shapes(key):
+    _, _, (box, *_), out = _layout_model(key)
+    assert out.shape == (box.shape[0], 8)
     # zero-init output conv -> exactly zero at init
     assert np.allclose(np.asarray(out), 0.0)
 
@@ -62,47 +74,32 @@ def test_layout_denoiser_shapes(key, rng):
 def test_layout_denoiser_mask_invariance(rng):
     """Adding masked padding rows must not change real-row outputs (eval mode,
     running batch stats)."""
-    N, T, pad_n, pad_t = 5, 6, 3, 4
-    box = rng.normal(size=(N, 8)).astype(np.float32)
-    obj = rng.normal(size=(N, 24)).astype(np.float32)
-    tri = np.stack([rng.integers(0, N, T), rng.integers(0, 16, T),
-                    rng.integers(0, N, T)], 1).astype(np.int32)
-    t = rng.integers(0, 1000, N).astype(np.int32)
+    model, vars_, (box, obj, tri, t), out_ref = _layout_model("crossattn")
+    N, T = box.shape[0], tri.shape[0]
+    pad_n, pad_t = 3, 4
+    out = jax.jit(model.apply)(vars_, box, obj, tri, t,
+                               obj_mask=jnp.ones(N), triple_mask=jnp.ones(T))
 
-    model = LayoutDenoiser(conditioning_key="crossattn", **TINY_1D)
-    vars_ = model.init(jax.random.PRNGKey(0), jnp.asarray(box), jnp.asarray(obj),
-                       jnp.asarray(tri), jnp.asarray(t))
-    out = model.apply(vars_, jnp.asarray(box), jnp.asarray(obj),
-                      jnp.asarray(tri), jnp.asarray(t),
-                      obj_mask=jnp.ones(N), triple_mask=jnp.ones(T))
-
-    box_p = np.concatenate([box, rng.normal(size=(pad_n, 8)).astype(np.float32)])
-    obj_p = np.concatenate([obj, rng.normal(size=(pad_n, 24)).astype(np.float32)])
-    tri_p = np.concatenate([tri, np.stack(
+    box_p = jnp.concatenate([box, jnp.asarray(
+        rng.normal(size=(pad_n, 8)).astype(np.float32))])
+    obj_p = jnp.concatenate([obj, jnp.asarray(
+        rng.normal(size=(pad_n, 24)).astype(np.float32))])
+    tri_p = jnp.concatenate([tri, jnp.asarray(np.stack(
         [rng.integers(0, N, pad_t), rng.integers(0, 16, pad_t),
-         rng.integers(0, N, pad_t)], 1).astype(np.int32)])
-    t_p = np.concatenate([t, rng.integers(0, 1000, pad_n).astype(np.int32)])
-    om = np.concatenate([np.ones(N), np.zeros(pad_n)]).astype(np.float32)
-    tm = np.concatenate([np.ones(T), np.zeros(pad_t)]).astype(np.float32)
-    out_p = model.apply(vars_, jnp.asarray(box_p), jnp.asarray(obj_p),
-                        jnp.asarray(tri_p), jnp.asarray(t_p),
-                        obj_mask=jnp.asarray(om), triple_mask=jnp.asarray(tm))
+         rng.integers(0, N, pad_t)], 1).astype(np.int32))])
+    t_p = jnp.concatenate([t, jnp.asarray(
+        rng.integers(0, 1000, pad_n).astype(np.int32))])
+    om = jnp.concatenate([jnp.ones(N), jnp.zeros(pad_n)])
+    tm = jnp.concatenate([jnp.ones(T), jnp.zeros(pad_t)])
+    out_p = jax.jit(model.apply)(vars_, box_p, obj_p, tri_p, t_p,
+                                 obj_mask=om, triple_mask=tm)
     assert np.allclose(np.asarray(out)[:N], np.asarray(out_p)[:N], atol=1e-5)
 
 
-def test_shape_denoiser_shapes(rng):
-    M, T, R = 4, 6, 8
-    x = jnp.asarray(rng.normal(size=(M, R, R, R, 3)).astype(np.float32))
-    obj = jnp.asarray(rng.normal(size=(M, 1, 48)).astype(np.float32))
-    tri = jnp.asarray(np.stack([rng.integers(0, M, T), rng.integers(0, 16, T),
-                                rng.integers(0, M, T)], 1).astype(np.int32))
-    t = jnp.asarray(rng.integers(0, 1000, M).astype(np.int32))
-    model = ShapeDenoiser(image_size=R, model_channels=16, num_res_blocks=1,
-                          channel_mult=(1, 2), attention_resolutions=(2,),
-                          num_heads=4, context_dim=48, gconv_dim=8,
-                          gconv_num_layers=2, conditioning_key="crossattn")
-    vars_ = model.init(jax.random.PRNGKey(0), x, obj, tri, t)
-    out = model.apply(vars_, x, obj, tri, t)
+def test_shape_denoiser_shapes(shape_den_small):
+    f = shape_den_small
+    out = f["apply32"](f["vars0"])
+    M, R = f["x"].shape[0], f["x"].shape[1]
     assert out.shape == (M, R, R, R, 3)
     assert np.allclose(np.asarray(out), 0.0)  # zero-init head
 
@@ -113,10 +110,12 @@ def test_vqvae_roundtrip_shapes(rng):
     vq = VQVAE(ch=8, ch_mult=(1, 2), n_embed=32, embed_dim=3, z_channels=3,
                resolution=R)
     # init the FULL graph (encoder + quantizer + decoder params)
-    vars_ = vq.init(jax.random.PRNGKey(0), x)
-    z = vq.apply(vars_, x, forward_no_quant=True, encode_only=True)
+    vars_ = jax.jit(vq.init)(jax.random.PRNGKey(0), x)
+    z = jax.jit(lambda v, x: vq.apply(v, x, forward_no_quant=True,
+                                      encode_only=True))(vars_, x)
     assert z.shape == (B, R // 2, R // 2, R // 2, 3)
-    dec = vq.apply(vars_, z, method=VQVAE.decode_no_quant)
+    dec = jax.jit(lambda v, z: vq.apply(v, z,
+                                        method=VQVAE.decode_no_quant))(vars_, z)
     assert dec.shape == (B, R, R, R, 1)
 
 

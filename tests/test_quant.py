@@ -55,17 +55,23 @@ def test_int8_dense_param_compat_and_accuracy():
 
 
 def test_attention_int8_sentinel_tracks_f32():
-    """SpatialTransformer under 'int8': same params, close output."""
+    """SpatialTransformer under 'int8': same params, close output.
+
+    Params are PERTURBED before the comparison: proj_out is zero-init
+    (reference zero_module), so on pristine params both paths return the
+    residual input exactly and the comparison is vacuous."""
     from echoscene_tpu.nn.attention import SpatialTransformer
+    from tests.conftest import perturb_params
 
     kw = dict(in_channels=32, n_heads=4, d_head=8, depth=1, context_dim=16)
     m32 = SpatialTransformer(**kw)
     m8 = SpatialTransformer(**kw, dtype="int8")
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 32))
     ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 16))
-    v = m32.init(jax.random.PRNGKey(2), x, ctx)
+    v = perturb_params(m32.init(jax.random.PRNGKey(2), x, ctx))
     y32 = np.asarray(m32.apply(v, x, ctx), np.float32)
     y8 = np.asarray(m8.apply(v, x, ctx), np.float32)
+    assert np.abs(y32 - np.asarray(x)[..., :32]).mean() > 1e-4  # not vacuous
     rel = np.abs(y8 - y32) / (np.abs(y32).mean() + 1e-6)
     assert rel.mean() < 0.05, rel.mean()
 
@@ -80,29 +86,24 @@ def test_quantize_symmetric_range():
                                np.asarray(x), atol=s * 0.51)
 
 
-def test_shape_denoiser_int8_mode_tracks_f32():
+def test_shape_denoiser_int8_mode_tracks_f32(shape_den_small):
     """ShapeDenoiser under the 'int8' sentinel: same param tree as the f32
-    module, output within quantization tolerance."""
+    module, output within quantization tolerance.
+
+    Runs on PERTURBED params: the output head is zero-init (reference
+    zero_module), so on pristine params both paths return exactly zero and
+    the tolerance check is vacuous.  Model/inputs come from the shared
+    session fixture so the f32 init+apply compiles are paid once suite-wide."""
     from echoscene_tpu.nn.unet3d import ShapeDenoiser
+    from tests.conftest import perturb_params
 
-    kw = dict(image_size=8, in_channels=3, model_channels=16,
-              out_channels=3, num_res_blocks=1, attention_resolutions=(2,),
-              channel_mult=(1, 2), num_heads=2, context_dim=32,
-              conditioning_key="crossattn", message_passing=True,
-              enable_t_emb=True, use_checkpoint=False, num_preds=4)
-    m32 = ShapeDenoiser(**kw)
-    m8 = ShapeDenoiser(**kw, dtype="int8")
-
-    m = 3
-    x = jax.random.normal(jax.random.PRNGKey(0), (m, 8, 8, 8, 3))
-    obj = jax.random.normal(jax.random.PRNGKey(1), (m, 1, 24))
-    triples = jnp.asarray([[0, 1, 1], [1, 0, 2], [2, 2, 0]])
-    t = jnp.asarray([3, 1, 2])
-    masks = dict(obj_mask=jnp.ones((m,)), triple_mask=jnp.ones((3,)))
-
-    v = m32.init(jax.random.PRNGKey(2), x, obj, triples, t, **masks)
-    y32 = np.asarray(m32.apply(v, x, obj, triples, t, **masks), np.float32)
-    y8 = np.asarray(m8.apply(v, x, obj, triples, t, **masks), np.float32)
+    f = shape_den_small
+    m8 = ShapeDenoiser(**f["kw"], dtype="int8")
+    v = perturb_params(f["vars0"])
+    y32 = np.asarray(f["apply32"](v), np.float32)
+    assert np.abs(y32).mean() > 1e-4          # perturbed head: not vacuous
+    y8 = np.asarray(jax.jit(lambda v: m8.apply(
+        v, f["x"], f["obj"], f["tri"], f["t"], **f["masks"]))(v), np.float32)
     assert y8.shape == y32.shape
     scale = np.abs(y32).mean() + 1e-6
     rel = np.abs(y8 - y32) / scale

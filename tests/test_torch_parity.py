@@ -80,9 +80,10 @@ def test_gcn_parity(rng):
     jm = GraphTripleConvNet(input_dim_obj=Do, input_dim_pred=Dp, num_layers=L,
                             hidden_dim=32, residual=True, pooling="avg",
                             mlp_normalization="batch", output_dim=20)
-    out_obj, out_pred = jm.apply({"params": params, "batch_stats": stats},
-                                 jnp.asarray(obj), jnp.asarray(pred),
-                                 jnp.asarray(edges.astype(np.int32)))
+    out_obj, out_pred = jax.jit(jm.apply)(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(obj), jnp.asarray(pred),
+        jnp.asarray(edges.astype(np.int32)))
     assert np.allclose(np.asarray(out_obj), t_obj.numpy(), atol=2e-4)
     assert np.allclose(np.asarray(out_pred), t_pred.numpy(), atol=2e-4)
 
@@ -109,16 +110,19 @@ def test_vqvae_parity(rng):
     jm = VQVAE(ch=32, ch_mult=(1, 2), n_embed=64, embed_dim=3, z_channels=3,
                resolution=32, num_res_blocks=1)
     x_l = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))   # channel-last
-    z_j = jm.apply({"params": params}, x_l, forward_no_quant=True,
-                   encode_only=True)
+    import jax
+    z_j = jax.jit(lambda v, x: jm.apply(v, x, forward_no_quant=True,
+                                        encode_only=True))(
+        {"params": params}, x_l)
     z_j_cf = np.transpose(np.asarray(z_j), (0, 4, 1, 2, 3))
     assert np.allclose(z_j_cf, z_t.numpy(), atol=5e-4), \
         np.abs(z_j_cf - z_t.numpy()).max()
 
     # continuous decode path (quantization excluded: argmin near codebook
     # boundaries tie-flips between implementations at f32 precision)
-    dec_j = jm.apply({"params": params}, z_j, force_not_quantize=True,
-                     method=VQVAE.decode_no_quant)
+    dec_j = jax.jit(lambda v, z: jm.apply(v, z, force_not_quantize=True,
+                                          method=VQVAE.decode_no_quant))(
+        {"params": params}, z_j)
     dec_j_cf = np.transpose(np.asarray(dec_j), (0, 4, 1, 2, 3))
     assert np.allclose(dec_j_cf, dec_t.numpy(), atol=5e-3), \
         np.abs(dec_j_cf - dec_t.numpy()).max()
@@ -184,10 +188,11 @@ def test_layout_denoiser_parity(rng):
                         conditioning_key="crossattn", concat_dim=48,
                         crossattn_dim=48, enable_t_emb=True,
                         use_checkpoint=False)
-    out_j = jm.apply({"params": params, "batch_stats": stats},
-                     jnp.asarray(box), jnp.asarray(obj),
-                     jnp.asarray(tri.astype(np.int32)),
-                     jnp.asarray(t.astype(np.int32)))
+    import jax
+    out_j = jax.jit(jm.apply)({"params": params, "batch_stats": stats},
+                              jnp.asarray(box), jnp.asarray(obj),
+                              jnp.asarray(tri.astype(np.int32)),
+                              jnp.asarray(t.astype(np.int32)))
     assert np.allclose(np.asarray(out_j), out_t, atol=2e-3), \
         np.abs(np.asarray(out_j) - out_t).max()
 
@@ -231,9 +236,11 @@ def test_shape_denoiser_parity(rng):
                        conditioning_key="crossattn", message_passing=True,
                        enable_t_emb=True, use_checkpoint=False)
     x_l = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
-    out_j = jm.apply({"params": params, "batch_stats": stats}, x_l,
-                     jnp.asarray(obj), jnp.asarray(tri.astype(np.int32)),
-                     jnp.asarray(t.astype(np.int32)))
+    import jax
+    out_j = jax.jit(jm.apply)({"params": params, "batch_stats": stats}, x_l,
+                              jnp.asarray(obj),
+                              jnp.asarray(tri.astype(np.int32)),
+                              jnp.asarray(t.astype(np.int32)))
     out_j_cf = np.transpose(np.asarray(out_j), (0, 4, 1, 2, 3))
     assert np.allclose(out_j_cf, out_t, atol=3e-3), \
         np.abs(out_j_cf - out_t).max()

@@ -45,6 +45,7 @@ def test_transform_weights_precompute_matches(rng):
                                atol=1e-6)
 
 
+@pytest.mark.slow  # two full-torso compiles (~24 s); winograd is off-path
 def test_winograd_module_swap_param_compatible(rng):
     """A ShapeDenoiser torso built with winograd=True must consume the
     plain-path param tree unchanged and reproduce its f32 outputs."""
@@ -57,17 +58,25 @@ def test_winograd_module_swap_param_compatible(rng):
                          context_dim=16, use_checkpoint=False,
                          winograd=winograd)
 
+    from tests.conftest import perturb_params
+
     x = jnp.asarray(rng.standard_normal((2, 4, 4, 4, 3)), jnp.float32)
     emb = jnp.asarray(rng.standard_normal((2, 32)), jnp.float32)
     ctx = jnp.asarray(rng.standard_normal((2, 1, 16)), jnp.float32)
     plain = build(False)
-    params = plain.init(jax.random.PRNGKey(0), x, emb, ctx)
-    ref = plain.apply(params, x, emb, ctx)
+    # PERTURBED params: the torso ends in a zero-init conv, so a pristine
+    # init returns exactly zero from both paths and the value comparison
+    # would be vacuous
+    params = perturb_params(
+        jax.jit(plain.init)(jax.random.PRNGKey(0), x, emb, ctx))
+    ref = jax.jit(plain.apply)(params, x, emb, ctx)
+    assert float(np.abs(np.asarray(ref)).mean()) > 1e-4
     wino = build(True)
-    # identical scopes: init trees match leaf-for-leaf
-    params_w = wino.init(jax.random.PRNGKey(0), x, emb, ctx)
+    # identical scopes: init trees match leaf-for-leaf (eval_shape traces
+    # the init without compiling it — structure is all we need)
+    shapes_w = jax.eval_shape(wino.init, jax.random.PRNGKey(0), x, emb, ctx)
     ref_paths = jax.tree_util.tree_structure(params)
-    assert jax.tree_util.tree_structure(params_w) == ref_paths
-    got = wino.apply(params, x, emb, ctx)
+    assert jax.tree_util.tree_structure(shapes_w) == ref_paths
+    got = jax.jit(wino.apply)(params, x, emb, ctx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
