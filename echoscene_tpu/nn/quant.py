@@ -33,6 +33,31 @@ def quantize_symmetric(x: jnp.ndarray, axes, eps: float = 1e-8):
     return q, scale
 
 
+def _fixed_act_scale() -> Optional[float]:
+    """Measurement hook (A/B only, not a product mode): when
+    ECHOSCENE_INT8_FIXED_SCALE is set, activation quantization uses that
+    constant scale instead of the dynamic abs-max.  This makes the quantize a
+    pure elementwise epilogue XLA can fuse into the producing GN+SiLU pass —
+    the upper bound for what a calibrated static-scale mode could win
+    (VERDICT r2 next-#6: 'fold the GN+SiLU elementwise passes into the int8
+    quant path').  Output values are wrong (clipping); timing is the point."""
+    import os
+    v = os.environ.get("ECHOSCENE_INT8_FIXED_SCALE")
+    return float(v) if v else None
+
+
+def quantize_act(x: jnp.ndarray):
+    """Activation quantization: dynamic per-tensor abs-max, or the fixed-scale
+    measurement hook."""
+    fixed = _fixed_act_scale()
+    if fixed is not None:
+        scale = jnp.full((), fixed, jnp.float32)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                     -127, 127).astype(jnp.int8)
+        return q, scale
+    return quantize_symmetric(x, axes=None)
+
+
 class Int8Conv(nn.Module):
     """Drop-in channel-last conv computing in int8 with int32 accumulation."""
     features: int
@@ -52,8 +77,8 @@ class Int8Conv(nn.Module):
         # weights: per-output-channel (last axis) scales
         wq, w_scale = quantize_symmetric(kernel,
                                          axes=tuple(range(kernel.ndim - 1)))
-        # activations: per-tensor dynamic scale
-        xq, x_scale = quantize_symmetric(x, axes=None)
+        # activations: per-tensor dynamic scale (or the fixed-scale hook)
+        xq, x_scale = quantize_act(x)
 
         rank = len(self.kernel_size)
         spatial = "DHW"[-rank:] if rank <= 3 else None
@@ -99,7 +124,7 @@ class Int8Dense(nn.Module):
         kernel = self.param("kernel", self.kernel_init,
                             (x.shape[-1], self.features))
         wq, w_scale = quantize_symmetric(kernel, axes=(0,))
-        xq, x_scale = quantize_symmetric(x, axes=None)
+        xq, x_scale = quantize_act(x)
         y = jax.lax.dot_general(
             xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
