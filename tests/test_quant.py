@@ -86,6 +86,26 @@ def test_quantize_symmetric_range():
                                np.asarray(x), atol=s * 0.51)
 
 
+def test_quantize_act_fixed_scale_hook(monkeypatch):
+    """ECHOSCENE_INT8_FIXED_SCALE (A/B measurement hook, BASELINE.md round-3
+    close-outs) swaps the dynamic abs-max for a constant scale; unset, the
+    dynamic path is bit-identical to quantize_symmetric."""
+    from echoscene_tpu.nn.quant import quantize_act
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (6, 7)) * 2.0
+    monkeypatch.delenv("ECHOSCENE_INT8_FIXED_SCALE", raising=False)
+    q_dyn, s_dyn = quantize_act(x)
+    q_ref, s_ref = quantize_symmetric(x, axes=None)
+    assert np.array_equal(np.asarray(q_dyn), np.asarray(q_ref))
+    np.testing.assert_allclose(np.asarray(s_dyn), np.asarray(s_ref))
+
+    monkeypatch.setenv("ECHOSCENE_INT8_FIXED_SCALE", "0.125")
+    q_fix, s_fix = quantize_act(x)
+    assert float(np.asarray(s_fix).reshape(())) == 0.125
+    expect = np.clip(np.round(np.asarray(x, np.float32) / 0.125), -127, 127)
+    np.testing.assert_array_equal(np.asarray(q_fix, np.float32), expect)
+
+
 def test_shape_denoiser_int8_mode_tracks_f32(shape_den_small):
     """ShapeDenoiser under the 'int8' sentinel: same param tree as the f32
     module, output within quantization tolerance.
