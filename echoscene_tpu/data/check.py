@@ -65,6 +65,16 @@ class CheckReport:
         return "\n".join(lines)
 
 
+def _all_finite(x) -> bool:
+    """True iff x converts to a finite float array (non-numeric entries —
+    e.g. strings in a corrupted json — report as NOT finite rather than
+    crashing the checker with a TypeError)."""
+    try:
+        return bool(np.isfinite(np.asarray(x, np.float64)).all())
+    except (TypeError, ValueError):
+        return False
+
+
 def _sdf_path_for(model_path: str) -> str:
     """model_path -> SDF h5 path, the loader's exact transform
     (data/sgfront.py load path; reference threedfront_dataset.py:309-313)."""
@@ -247,7 +257,7 @@ def check_dataset(root: str, room_type: str = "bedroom",
             boxes = box_data[sid]
             sc = boxes.get("scene_center")
             if (not isinstance(sc, (list, tuple)) or len(sc) != 3
-                    or not np.isfinite(sc).all()):
+                    or not _all_finite(sc)):
                 rep.error(f"{bjson}:{sid}: scene_center must be 3 finite "
                           f"floats, got {sc!r}")
             for ik in inst_ids:
@@ -257,7 +267,7 @@ def check_dataset(root: str, room_type: str = "bedroom",
                     continue
                 p7 = ent.get("param7")
                 if (not isinstance(p7, (list, tuple)) or len(p7) != 7
-                        or not np.isfinite(p7).all()):
+                        or not _all_finite(p7)):
                     rep.error(f"{bjson}:{sid}:{ik}: param7 must be 7 finite "
                               f"floats, got {p7!r}")
                 mp = ent.get("model_path")
