@@ -112,7 +112,7 @@ def frechet_distance(feats1: np.ndarray, feats2: np.ndarray) -> float:
     c1 = np.cov(feats1, rowvar=False)
     c2 = np.cov(feats2, rowvar=False)
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(c1 @ c2, disp=False)
+    covmean = linalg.sqrtm(c1 @ c2)  # may be complex for near-singular input
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(c1) + np.trace(c2)
