@@ -230,13 +230,21 @@ def check_dataset(root: str, room_type: str = "bedroom",
                 if s not in inst_ids or o not in inst_ids:
                     rep.error(f"{rjson}:{sid}: relationship {r[:3]} touches "
                               "instance(s) absent from 'objects'")
-                if not (1 <= int(p) <= len(relationships)):
+                try:
+                    pid = int(p)
+                except (TypeError, ValueError):
+                    rep.error(f"{rjson}:{sid}: predicate id {p!r} is not an "
+                              "integer (the loader's int() would crash)")
+                    pid = None
+                if pid is None:
+                    pass
+                elif not (1 <= pid <= len(relationships)):
                     rep.error(f"{rjson}:{sid}: predicate id {p} outside "
                               f"1..{len(relationships)} (ids are 1-based; "
                               "the loader shifts by -1, sgfront.py:165)")
-                elif str(phrase).lower() != relationships[int(p) - 1]:
+                elif str(phrase).lower() != relationships[pid - 1]:
                     rep.warn(f"{rjson}:{sid}: phrase {phrase!r} != predicate "
-                             f"{int(p)} ({relationships[int(p) - 1]!r}); the "
+                             f"{pid} ({relationships[pid - 1]!r}); the "
                              "loader uses the TEXT for CLIP phrases and the "
                              "ID for supervision — they should agree")
                 if s in inst_ids and o in inst_ids:
@@ -245,6 +253,14 @@ def check_dataset(root: str, room_type: str = "bedroom",
                     ol = (inst_ids[o] if large
                           else mapping.get(inst_ids[o], inst_ids[o]))
                     words.append(f"{sl} {phrase} {ol}")
+            # scene-rel phrases: with use_scene_rels the loader appends an
+            # '<label> in room' word per instance and indexes
+            # clip_feats_rel[word] (threedfront_dataset.py:344, :419) — a
+            # cache lacking them KeyErrors inside the reference __getitem__
+            for ik in sorted(inst_ids):
+                lbl = (inst_ids[ik] if large
+                       else mapping.get(inst_ids[ik], inst_ids[ik]))
+                words.append(f"{lbl} in room")
             n_nodes_all.append(len(inst_ids))
             n_rels_all.append(len(rels))
             all_scan_words[sid] = words
@@ -386,7 +402,7 @@ def write_clip_cache(root: str, room_type: str = "bedroom",
     Returns the number of pickles written."""
     from .clip_text import ClipTextEncoder
 
-    enc = encoder or ClipTextEncoder("hash")
+    enc = encoder or ClipTextEncoder("auto")
     mapping = json.load(open(os.path.join(root, "mapping.json")))
     written = 0
     for suffix in splits:
@@ -409,6 +425,13 @@ def write_clip_cache(root: str, room_type: str = "bedroom",
                 ol = objects[o] if large else mapping[objects[o]]
                 rel_feats[f"{sl} {phrase} {ol}"] = enc.encode(
                     f"{sl} {phrase} {ol}")
+            # '<label> in room' scene-rel phrases: the reference builds one
+            # per instance when use_scene_rels is on and indexes
+            # clip_feats_rel[word] (threedfront_dataset.py:344, :419)
+            for lbl in labels:
+                word = f"{lbl} in room"
+                if word not in rel_feats:
+                    rel_feats[word] = enc.encode(word)
             os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(path, "wb") as f:
                 pickle.dump({"instance_feats": np.asarray(feats, np.float32),

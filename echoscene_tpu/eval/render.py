@@ -254,6 +254,10 @@ def export_glb(path: str, verts: np.ndarray, tris: np.ndarray,
 
     verts = np.asarray(verts, np.float32)
     tris = np.asarray(tris, np.int64).reshape(-1, 3)
+    if len(tris) == 0:
+        # glTF 2.0 requires accessor.count >= 1; an empty scene produces no
+        # valid primitive, so write nothing (strict viewers reject count=0)
+        return
     pos = verts[tris.reshape(-1)]                      # (3T, 3) de-indexed
     if tri_colors is None:
         tri_colors = np.tile(np.array([[0.6, 0.6, 0.6]], np.float32),

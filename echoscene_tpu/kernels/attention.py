@@ -24,10 +24,18 @@ import jax.numpy as jnp
 
 PALLAS_MIN_SEQ = 512  # below this, plain einsum attention is faster on TPU
 _DISABLE = os.environ.get("ECHOSCENE_DISABLE_PALLAS_ATTN") == "1"
-# opt-in bf16 score tile on the one-pass flash path (sampling quality/speed
-# trade, bf16 logit rounding — see kernels/flash_attention._onepass_kernel);
-# read at trace time like the other ECHOSCENE_* kernel switches
-_BF16_SCORES = os.environ.get("ECHOSCENE_FLASH_BF16_SCORES") == "1"
+
+
+def _bf16_scores() -> bool:
+    """Opt-in bf16 score tile on the one-pass flash path (quality/speed
+    trade, bf16 logit rounding — see kernels/flash_attention._onepass_kernel).
+
+    Read from the environment at TRACE time (every dot_product_attention
+    call), so the switch takes effect for whatever program is traced while
+    it is set — that includes a TRAINING forward if you set it around a
+    train step, not just sampling; the forward is the kernel either way and
+    the backward stays the exact einsum VJP."""
+    return os.environ.get("ECHOSCENE_FLASH_BF16_SCORES") == "1"
 
 
 def _einsum_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -60,7 +68,7 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if use_pallas:
         from .flash_attention import flash_attention
         try:
-            return flash_attention(q, k, v, 256, _BF16_SCORES)
+            return flash_attention(q, k, v, 256, _bf16_scores())
         except Exception:  # pragma: no cover - fall back if lowering fails
             pass
     return _einsum_attention(q, k, v, mask)

@@ -234,7 +234,11 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """q: (B, L, H, D); k, v: (B, S, H, D) -> (B, L, H, D).
 
     bf16_scores: opt-in bf16 score tile on the one-pass path (see
-    _onepass_kernel) — sampling-only quality/speed trade, never the default.
+    _onepass_kernel) — a quality/speed trade, never the default.  It applies
+    to whichever forward is traced with it (the env switch in
+    kernels/attention.py is read at trace time, so a training forward traced
+    under ECHOSCENE_FLASH_BF16_SCORES=1 uses it too; the backward is always
+    the exact einsum VJP).
     """
     return _flash_attention_fwd_impl(q, k, v, q_block, bf16_scores)
 

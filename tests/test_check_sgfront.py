@@ -56,6 +56,8 @@ def test_corrupted_copy_reports_actionable_errors(fixture_root, tmp_path):
     data = json.load(open(rj))
     data["scans"][0]["relationships"].append([999, 1, 3, "front"])
     data["scans"][1]["relationships"].append([1, 2, 0, "left"])
+    # non-numeric predicate id must REPORT, not crash the checker
+    data["scans"][2]["relationships"].append([1, 2, "oops", "left"])
     json.dump(data, open(rj, "w"))
 
     # 3. break a box entry (param7 too short) and drop scene_center
@@ -83,6 +85,7 @@ def test_corrupted_copy_reports_actionable_errors(fixture_root, tmp_path):
     assert "pc_sdf_sample" in text           # 1
     assert "absent from 'objects'" in text   # 2a
     assert "outside 1..15" in text           # 2b
+    assert "not an integer" in text          # 2c
     assert "param7" in text                  # 3a
     assert "scene_center" in text            # 3b
     assert "expects 14 values" in text       # 4
@@ -128,6 +131,24 @@ def test_write_clip_cache_roundtrip(fixture_root):
         for j, b in enumerate(labels):
             if a == b:
                 np.testing.assert_array_equal(feats[i], feats[j])
+
+    # scene-rel phrases: with use_scene_rels on, the reference __getitem__
+    # builds '<label> in room' for every instance and indexes
+    # clip_feats_rel[word] (threedfront_dataset.py:344, :419) — a cache
+    # lacking them KeyErrors inside the reference loader
+    for lbl in labels:
+        assert f"{lbl} in room" in rel_feats, lbl
+
+    # ...and check_dataset flags a cache that lacks them
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    d["rel_feats"] = {k: v for k, v in d["rel_feats"].items()
+                      if not k.endswith(" in room")}
+    with open(path, "wb") as f:
+        pickle.dump(d, f)
+    rep2 = check_dataset(fixture_root, sdf_res=16, check_clip=True)
+    assert any("in room" in w for w in rep2.warnings), rep2.render()
+    write_clip_cache(fixture_root, overwrite=True)   # restore for later tests
 
 
 def test_cli_entrypoint(fixture_root, capsys):

@@ -124,6 +124,15 @@ def test_glb_roundtrip_geometry(tmp_path):
     np.testing.assert_allclose(col[3:], np.tile([[0, 1, 0]], (3, 1)))
 
 
+def test_glb_empty_scene_writes_nothing(tmp_path):
+    """glTF 2.0 requires accessor.count >= 1 — an empty assemble_scene result
+    must not produce a spec-violating .glb (strict viewers reject count=0)."""
+    from echoscene_tpu.eval.render import export_glb
+    p = str(tmp_path / "empty.glb")
+    export_glb(p, np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    assert not os.path.exists(p)
+
+
 def test_assemble_scene_highlight_changes_colors():
     from echoscene_tpu.eval.render import assemble_scene
     objs = [1, 2]
