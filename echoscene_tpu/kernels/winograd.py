@@ -2,8 +2,8 @@
 
 The protocol generation chain is conv-bound: XLA's direct conv3d emitter
 measured 108-128 TFLOP/s (55-65% of v5e bf16 peak) at the shape-UNet shapes,
-and two hand-written Pallas direct-conv kernels lost to it (see
-fused_conv.py STATUS).  Winograd attacks the FLOPs instead of the emitter:
+and two hand-written Pallas direct-conv kernels lost to it (post-mortem
+in BASELINE.md round-2 conv-ceiling follow-ups).  Winograd attacks the FLOPs instead of the emitter:
 F(2,3) per dimension computes each 2x2x2 output tile from a 4x4x4 input tile
 with 64 multiplies instead of 8*27 = 216 — a 3.375x MAC reduction — and all
 three stages (input transform, per-position channel matmul, inverse

@@ -75,10 +75,6 @@ class ShapeDenoiserConfig:
     message_passing: bool = True
     enable_t_emb: bool = True
     conditioning_key: str = "crossattn"
-    # sampling-only Pallas fusion of the ResBlock GN+SiLU+conv3d pattern
-    # (kernels/fused_conv.py); enabled automatically on TPU for bf16
-    # sampling (SGDiff builds the inference twin with it)
-    fused_conv: bool = False
     # sampling-only Winograd F(2,3)^3 3x3x3 convs (kernels/winograd.py);
     # set on the inference twin via EchoSceneConfig.sample_conv
     winograd: bool = False

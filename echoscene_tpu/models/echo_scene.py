@@ -104,7 +104,6 @@ class EchoSceneModule(nn.Module):
                 gconv_num_layers=getattr(sd, "gconv_num_layers", 5),
                 enable_t_emb=sd.enable_t_emb,
                 use_checkpoint=sd.use_checkpoint,
-                fused_conv=getattr(sd, "fused_conv", False),
                 winograd=getattr(sd, "winograd", False),
                 factored_upsample=getattr(sd, "factored_upsample", False),
                 num_preds=16, dtype=dtype)

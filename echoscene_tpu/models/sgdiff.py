@@ -146,18 +146,6 @@ class SGDiff:
             # has none, so drop the nn.remat wrappers from the twin
             infer_cfg.layout_denoiser.use_checkpoint = False
             infer_cfg.shape_branch.denoiser.use_checkpoint = False
-            # Pallas fused GN+SiLU+conv3d ResBlocks (kernels/fused_conv.py)
-            # stay OPT-IN (ECHOSCENE_FUSED_CONV=1): measured on v5e, the
-            # shifted-window form lost 7.8x to XLA's conv (27 per-tap VMEM
-            # relayouts) and the flat-offset redesign both hangs the Mosaic
-            # compile and pays 27-125% padded-MAC overhead per level — XLA's
-            # conv emitter (127 TFLOP/s measured) + its own elementwise
-            # fusion is the faster path on current toolchains.
-            import os as _os
-            if (cfg.sample_dtype == "bfloat16"
-                    and jax.default_backend() != "cpu"
-                    and _os.environ.get("ECHOSCENE_FUSED_CONV")):
-                infer_cfg.shape_branch.denoiser.fused_conv = True
             if getattr(cfg, "sample_conv", "direct") == "winograd":
                 infer_cfg.shape_branch.denoiser.winograd = True
             # exact factored upsample+conv: inference-only (its backward is

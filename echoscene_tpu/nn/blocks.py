@@ -361,41 +361,6 @@ class Downsample(nn.Module):
         return nn.avg_pool(x, window_shape=stride, strides=stride)
 
 
-class _GNParams(nn.Module):
-    """GroupNorm32 parameter holder for the fused kernel path (same scope
-    layout/init as GroupNorm32, no compute)."""
-    ch: int
-
-    @nn.compact
-    def __call__(self):
-        return (self.param("scale", nn.initializers.ones, (self.ch,),
-                           jnp.float32),
-                self.param("bias", nn.initializers.zeros, (self.ch,),
-                           jnp.float32))
-
-
-class _ConvParams(nn.Module):
-    """nn.Conv parameter holder (same names/shapes/init) for the fused path."""
-    features: int
-    in_ch: int
-    zero: bool = False
-
-    @nn.compact
-    def __call__(self):
-        init_k = (nn.initializers.zeros if self.zero
-                  else nn.initializers.lecun_normal())
-        k = self.param("kernel", init_k, (3, 3, 3, self.in_ch, self.features))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return k, b
-
-
-def _gn_groups(c: int, requested: int = 32) -> int:
-    g = min(requested, c)
-    while c % g:
-        g -= 1
-    return g
-
-
 class ResBlock(nn.Module):
     """GN-SiLU-conv / time-emb add / GN-SiLU-zeroconv + skip (openai_model_3d.py:202-314)."""
     channels: int
@@ -403,16 +368,12 @@ class ResBlock(nn.Module):
     spatial_rank: int = 3
     dropout: float = 0.0
     use_scale_shift_norm: bool = False
-    fused: bool = False       # sampling-only Pallas GN+SiLU+conv3d fusion
     winograd: bool = False    # sampling-only Winograd F(2,3)^3 3x3x3 convs
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, emb, *, deterministic: bool = True):
         out_ch = self.out_channels or self.channels
-        if (self.fused and self.spatial_rank == 3 and self.dropout == 0
-                and not self.use_scale_shift_norm):
-            return self._fused(x, emb, out_ch)
         h = GroupNorm32()(x)
         h = nn.silu(h)
         h = _conv(out_ch, self.spatial_rank, dtype=self.dtype,
@@ -441,32 +402,3 @@ class ResBlock(nn.Module):
         else:
             skip = _conv(out_ch, self.spatial_rank, kernel=1, dtype=self.dtype)(x)
         return skip + h
-
-    def _fused(self, x, emb, out_ch):
-        """Pallas-fused forward: two conv3d_gn_silu calls replace the whole
-        GN/SiLU/conv/emb-add/GN/SiLU/conv/skip chain.  Parameter scopes are
-        declared explicitly to match the plain path's flax auto-names
-        (GroupNorm32_0, Conv_0, Dense_0, GroupNorm32_1, Conv_1, Conv_2) so
-        one param tree serves both paths.  Forward-only (sampling)."""
-        from ..kernels.fused_conv import conv3d_gn_silu, group_norm_affine
-
-        cin = x.shape[-1]
-        gn1_s, gn1_b = _GNParams(cin, name="GroupNorm32_0")()
-        k1, b1 = _ConvParams(out_ch, cin, name="Conv_0")()
-        emb_out = nn.Dense(out_ch, dtype=act_dtype(self.dtype),
-                           name="Dense_0")(nn.silu(emb))
-        gn2_s, gn2_b = _GNParams(out_ch, name="GroupNorm32_1")()
-        k2, b2 = _ConvParams(out_ch, out_ch, zero=True, name="Conv_1")()
-
-        w1, bb1 = group_norm_affine(x, _gn_groups(cin), 1e-5, gn1_s, gn1_b)
-        h = conv3d_gn_silu(x, w1, bb1, k1, b1)
-        # the time-embedding channel shift folds into GN2's affine
-        # analytically (group_norm_affine docstring) — never materialised
-        w2, bb2 = group_norm_affine(h, _gn_groups(out_ch), 1e-5, gn2_s, gn2_b,
-                                    shift=emb_out.astype(jnp.float32))
-        if out_ch == self.channels:
-            skip = x
-        else:
-            skip = _conv(out_ch, 3, kernel=1, dtype=self.dtype,
-                         name="Conv_2")(x)
-        return conv3d_gn_silu(h, w2, bb2, k2, b2, residual=skip)

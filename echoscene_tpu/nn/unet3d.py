@@ -45,7 +45,6 @@ class ShapeDenoiser(nn.Module):
     message_passing: bool = True
     enable_t_emb: bool = True
     use_checkpoint: bool = False
-    fused_conv: bool = False
     winograd: bool = False
     factored_upsample: bool = False
     dropout: float = 0.0
@@ -81,7 +80,6 @@ class ShapeDenoiser(nn.Module):
             context_dim=torso_ctx,
             dropout=self.dropout,
             use_checkpoint=self.use_checkpoint,
-            fused_conv=self.fused_conv,
             winograd=self.winograd,
             factored_upsample=self.factored_upsample,
             dtype=self.dtype,

@@ -35,7 +35,6 @@ class UNetTorso(nn.Module):
     dropout: float = 0.0
     use_checkpoint: bool = False
     use_scale_shift_norm: bool = False
-    fused_conv: bool = False
     winograd: bool = False    # sampling-only Winograd F(2,3)^3 3x3x3 convs
     factored_upsample: bool = False  # sampling-only factored upsample+conv
     dtype: Optional[jnp.dtype] = None
@@ -53,7 +52,6 @@ class UNetTorso(nn.Module):
             return blk(channels=ch_in, out_channels=ch_out,
                        spatial_rank=self.spatial_rank, dropout=self.dropout,
                        use_scale_shift_norm=self.use_scale_shift_norm,
-                       fused=self.fused_conv and not self.use_checkpoint,
                        winograd=self.winograd,
                        dtype=self.dtype, name=name)
 
