@@ -30,17 +30,19 @@ REFERENCE_SCENES_PER_SEC = 0.09
 
 
 def main():
-    from echoscene_tpu.benchmarks import (build_flagship, time_generation,
-                                          time_train_step)
+    from echoscene_tpu.benchmarks import (build_flagship, chip_peak_flops,
+                                          time_generation, time_train_step)
 
     batch_scenes = 8
     # tight node capacity: padded rows cost full denoiser FLOPs in the chains
     sg, state, batch = build_flagship(max_nodes=48, max_triples=112,
                                       diffusion_bs=8,
                                       batch_scenes=batch_scenes)
-    scenes_per_sec = time_generation(sg, state, batch, batch_scenes)
+    scenes_per_sec, sample_flops = time_generation(
+        sg, state, batch, batch_scenes, return_flops=True)
     # train step second: time_train_step donates/consumes the state buffers
-    train_sps = time_train_step(sg, state, batch, batch_scenes)
+    train_sps, train_flops = time_train_step(sg, state, batch, batch_scenes,
+                                             return_flops=True)
     del sg, state, batch
 
     sg_f, state_f, batch_f = build_flagship(max_nodes=48, max_triples=112,
@@ -48,6 +50,16 @@ def main():
                                             batch_scenes=batch_scenes,
                                             fast_profile=True)
     fast_sps = time_generation(sg_f, state_f, batch_f, batch_scenes)
+
+    # MFU vs the chip's dense bf16 MXU peak (machine-checked form of the
+    # BASELINE.md conv-ceiling claim: XLA's analytic FLOP count for the
+    # compiled program / measured wall time / spec-sheet peak); null when
+    # the backend exposes no cost analysis or the chip is unknown.
+    peak = chip_peak_flops()
+    mfu_sample = (sample_flops * scenes_per_sec / batch_scenes / peak
+                  if peak and sample_flops else None)
+    mfu_train = (train_flops * train_sps / batch_scenes / peak
+                 if peak and train_flops else None)
 
     print(json.dumps({
         "metric": "scenes/sec (full generation: 1000-step layout DDPM + "
@@ -59,6 +71,12 @@ def main():
         "fast_profile_desc": "opt-in serving config: int8 convs + DPM++(2M) "
                              "50-step layout / 20-step shape",
         "train_scenes_per_sec": round(train_sps, 2),
+        "mfu_sample": round(mfu_sample, 4) if mfu_sample else None,
+        "mfu_train": round(mfu_train, 4) if mfu_train else None,
+        "flops_per_scene_sample": (round(sample_flops / batch_scenes)
+                                   if sample_flops else None),
+        "flops_per_scene_train": (round(train_flops / batch_scenes)
+                                  if train_flops else None),
     }))
 
 

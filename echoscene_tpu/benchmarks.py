@@ -20,6 +20,7 @@ def build_flagship(max_nodes: int = 64, max_triples: int = 128,
                    tiny: bool = False,
                    config_path: Optional[str] = None,
                    sample_dtype: Optional[str] = None,
+                   compute_dtype: Optional[str] = None,
                    fast_profile: bool = False) -> Tuple:
     """Flagship EchoScene (full_mp.yaml dims) + one synthetic collated batch.
 
@@ -51,6 +52,8 @@ def build_flagship(max_nodes: int = 64, max_triples: int = 128,
     cfg.batch_scenes = batch_scenes
     if sample_dtype is not None:
         cfg.sample_dtype = sample_dtype
+    if compute_dtype is not None:
+        cfg.compute_dtype = compute_dtype
     if fast_profile:
         # the opt-in serving configuration (BASELINE.md): int8 W8A8 shape-UNet
         # convs + DPM-Solver++(2M) 50-step layout / 20-step shape chains —
@@ -109,9 +112,46 @@ def shrink_config(cfg) -> None:
     vq.resolution = 16
 
 
+def _compiled_flops(compiled) -> Optional[float]:
+    """XLA's analytic FLOP count for a compiled executable (None if the
+    backend does not expose cost analysis)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def chip_peak_flops() -> Optional[float]:
+    """Peak dense bf16 MXU FLOP/s of the local chip (public spec sheets);
+    None for unknown device kinds (e.g. the CPU emulation backend).
+
+    MFU is reported against the bf16 peak by convention regardless of the
+    program's compute dtype — an f32 step's MFU reads low against it, which
+    is exactly the signal (bf16 is the hardware's native matmul rate)."""
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for pat, peak in (("v5 lite", 197e12), ("v5litepod", 197e12),
+                      ("v5e", 197e12), ("v5p", 459e12),
+                      ("v6 lite", 918e12), ("v6e", 918e12),
+                      ("v4", 275e12), ("v3", 123e12), ("v2", 46e12)):
+        if pat in kind:
+            return peak
+    return None
+
+
 def time_generation(sg, state, batch, batch_scenes: int, n_iters: int = 3,
-                    gen_shape: bool = True) -> float:
-    """Compile + warm up, then average scenes/sec over `n_iters` calls."""
+                    gen_shape: bool = True, return_flops: bool = False):
+    """Compile + warm up, then average scenes/sec over `n_iters` calls.
+
+    return_flops=True: returns (scenes_per_sec, flops_per_call) where
+    flops_per_call is XLA's analytic count for ONE sample dispatch
+    (batch_scenes scenes) — the numerator of mfu_sample in bench.py.
+    """
     import jax
 
     from .models.sgdiff import shape_row_capacity
@@ -122,15 +162,19 @@ def time_generation(sg, state, batch, batch_scenes: int, n_iters: int = 3,
     sample = jax.jit(
         lambda p, bs, b, k: sg.sample_fn(p, bs, b, k, gen_shape=gen_shape,
                                          shape_rows=rows))
-    out = sample(state.params, state.batch_stats, batch, jax.random.PRNGKey(0))
+    args = (state.params, state.batch_stats, batch, jax.random.PRNGKey(0))
+    # AOT path: one explicit compile serves the cost analysis AND every call
+    compiled = sample.lower(*args).compile()
+    flops = _compiled_flops(compiled)
+    out = compiled(*args)
     jax.block_until_ready(out)
     float(out["sizes"].sum())  # D2H readback — see timing note below
 
     t0 = time.perf_counter()
     acc = 0.0
     for i in range(n_iters):
-        out = sample(state.params, state.batch_stats, batch,
-                     jax.random.PRNGKey(i + 1))
+        out = compiled(state.params, state.batch_stats, batch,
+                       jax.random.PRNGKey(i + 1))
     # block_until_ready alone has proven unreliable for timing through the
     # tunneled TPU backend (microbenchmarks returned physically impossible
     # rates); a device-to-host readback of a result scalar cannot complete
@@ -139,14 +183,20 @@ def time_generation(sg, state, batch, batch_scenes: int, n_iters: int = 3,
     acc += float(out["sizes"].sum())
     dt = (time.perf_counter() - t0) / n_iters
     assert acc == acc  # consume the readback (guards DCE)
-    return batch_scenes / dt
+    sps = batch_scenes / dt
+    return (sps, flops) if return_flops else sps
 
 
 def time_train_step(sg, state, batch, batch_scenes: int, k: int = 8,
-                    rng_seed: int = 17) -> float:
+                    rng_seed: int = 17, return_flops: bool = False):
     """Train-step scenes/sec/chip, measured as ONE dispatched lax.scan of `k`
     optimizer steps (host-driven per-step dispatch timing through the tunnel
-    is too noisy to trust for ~200 ms programs — BASELINE.md r2 notes)."""
+    is too noisy to trust for ~200 ms programs — BASELINE.md r2 notes).
+
+    return_flops=True: returns (scenes_per_sec, flops_per_step) — XLA's
+    analytic count for the whole k-step scan divided by k, i.e. ONE
+    fwd+bwd+AdamW optimizer step on batch_scenes scenes.
+    """
     import functools
 
     import jax
@@ -166,15 +216,18 @@ def time_train_step(sg, state, batch, batch_scenes: int, k: int = 8,
         return jax.lax.scan(body, carry, rngs)
 
     carry = (state.params, state.batch_stats, state.opt_state)
-    carry, losses = run(carry, batch, jax.random.split(
-        jax.random.PRNGKey(rng_seed), k))          # compile + warm
+    rngs0 = jax.random.split(jax.random.PRNGKey(rng_seed), k)
+    compiled = run.lower(carry, batch, rngs0).compile()
+    flops = _compiled_flops(compiled)
+    carry, losses = compiled(carry, batch, rngs0)  # warm (donates carry)
     jax.block_until_ready(carry)
     float(losses.sum())                            # D2H readback
     t0 = time.perf_counter()
-    carry, losses = run(carry, batch, jax.random.split(
+    carry, losses = compiled(carry, batch, jax.random.split(
         jax.random.PRNGKey(rng_seed + 1), k))
     jax.block_until_ready(carry)
     acc = float(losses.sum())
     dt = time.perf_counter() - t0
     assert acc == acc
-    return batch_scenes * k / dt
+    sps = batch_scenes * k / dt
+    return (sps, flops / k if flops else None) if return_flops else sps
