@@ -32,6 +32,15 @@ CLIP_DIM = 512
 class ClipTextEncoder:
     def __init__(self, backend: str = "hash", model_path: Optional[str] = None,
                  cache_table: Optional[str] = None):
+        if backend == "auto":
+            # installed real weights (scripts/fetch_weights.py) flip this to
+            # the reference's true conditioning; hash proxy otherwise.
+            # Callers that persist the backend (train/cli args.json) record
+            # the RESOLVED name so later eval matches the training features.
+            from ..weights import clip_text_dir
+            d = clip_text_dir()
+            backend, model_path = (("transformers", d) if d
+                                   else ("hash", model_path))
         self.backend = backend
         self._memo: Dict[str, np.ndarray] = {}
         self._hf = None

@@ -99,7 +99,7 @@ class SGFrontDataset:
         self.eval_type = eval_type
         self.large = large
         self.sdf_res = sdf_res
-        self.clip = clip or ClipTextEncoder("hash")
+        self.clip = clip or ClipTextEncoder("auto")
         self.rng = random.Random(seed if seed is not None else 47)
         self.np_rng = np.random.default_rng(seed if seed is not None else 47)
 

@@ -25,6 +25,13 @@ import numpy as np
 class ClipImageEncoder:
     def __init__(self, backend: str = "pixel",
                  model_path: Optional[str] = None):
+        if backend == "auto":
+            # installed ViT-B/32 snapshot (scripts/fetch_weights.py) carries
+            # the vision tower too; pixel proxy otherwise
+            from ..weights import clip_text_dir
+            d = clip_text_dir()
+            backend, model_path = (("transformers", d) if d
+                                   else ("pixel", model_path))
         self.backend = backend
         self._hf = None
         if backend == "transformers":

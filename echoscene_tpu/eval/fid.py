@@ -90,7 +90,18 @@ def get_extractor(spec: str = "random") -> Callable:
     (eval/inception_fid.py; weights converted from the TorchScript file once
     and cached as npz), falling back to the TorchScript runner if the file
     is not a convertible FID-Inception checkpoint.  'torchscript:<path>'
-    forces the torch path."""
+    forces the torch path.  'auto' -> installed real weights
+    (scripts/fetch_weights.py / echoscene_tpu.weights) when present, else
+    the random-conv proxy with a warning."""
+    if spec == "auto":
+        from ..weights import inception_weights
+        path = inception_weights()
+        if path is None:
+            print("[fid] no installed Inception weights "
+                  "(scripts/fetch_weights.py --inception ...); scores use "
+                  "the random-conv PROXY — not comparable to published FID")
+            return random_conv_extractor()
+        spec = f"inception:{path}"
     if spec.startswith("torchscript:"):
         return torchscript_extractor(spec.split(":", 1)[1])
     if spec.startswith("inception:"):

@@ -167,7 +167,7 @@ class GenerationService:
         self.stats = stats
         self.classes = classes
         self.rel_dict = rel_dict
-        self.clip = clip or ClipTextEncoder("hash")
+        self.clip = clip or ClipTextEncoder("auto")
         self.gen_shape = gen_shape
         self.return_meshes = return_meshes
         self.use_scene_rels = use_scene_rels

@@ -64,8 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_nodes", type=int, default=0,
                    help="flat node capacity (0 = auto from batchSize)")
     p.add_argument("--max_triples", type=int, default=0)
-    p.add_argument("--clip_backend", default="hash",
-                   choices=["hash", "cache", "transformers"])
+    p.add_argument("--clip_backend", default="auto",
+                   choices=["auto", "hash", "cache", "transformers"],
+                   help="'auto' = installed real CLIP weights "
+                        "(scripts/fetch_weights.py) if present, else hash "
+                        "proxy; the RESOLVED backend is recorded in "
+                        "args.json so eval matches training features")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--max_steps", type=int, default=0,
@@ -104,6 +108,7 @@ def main(argv=None):
     from .trainer import Trainer, dump_args
 
     clip = ClipTextEncoder(args.clip_backend)
+    args.clip_backend = clip.backend  # record the RESOLVED backend
     if args.bin_angle:
         print("[train] WARNING: --bin_angle reproduces the legacy 24-bin "
               "angle encoding; the reference marks it 'not possible for "

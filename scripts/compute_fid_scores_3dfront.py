@@ -20,7 +20,8 @@ def main(argv=None):
     p.add_argument("--room_type", default="all",
                    choices=["bedroom", "livingroom", "diningroom", "library",
                             "all"])
-    p.add_argument("--extractor", default="random")
+    p.add_argument("--extractor", default="auto",
+               help="'auto' = installed Inception weights (scripts/fetch_weights.py) if present, else the random-conv proxy; or 'inception:<path>' / 'torchscript:<path>' / 'random'")
     args = p.parse_args(argv)
     res = compute_fid_kid(args.path_to_real_renderings,
                           args.path_to_synthesized_renderings,

@@ -30,11 +30,11 @@ def main(argv=None):
                    help="dir of <scan_id>.npz generated sdf dumps")
     p.add_argument("--num_points", type=int, default=5000)
     p.add_argument("--clip", default="off",
-                   choices=["off", "pixel", "transformers"],
+                   choices=["off", "auto", "pixel", "transformers"],
                    help="also report CLIP image-feature pair distances "
                         "(consistency_check.py:63-75); 'pixel' is a hermetic "
                         "proxy NOT comparable to real-CLIP numbers, "
-                        "'transformers' needs local CLIP vision weights")
+                        "'transformers' needs local CLIP vision weights, 'auto' uses installed weights (scripts/fetch_weights.py) or falls back to pixel")
     p.add_argument("--clip_model_path", default=None)
     args = p.parse_args(argv)
 
