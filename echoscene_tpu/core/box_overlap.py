@@ -53,10 +53,14 @@ def soft_rotated_iou_matrix(boxes: jnp.ndarray, k: int = 4,
     rot_inv = jnp.swapaxes(rot, -1, -2)       # reference; orthonormal
 
     pts_local = _lattice(k)                   # (P, 3) in unit box
-    # world points of each subject box: scale (w, h, l) on (x, y, z)
+    # world points of each subject box: scale (w, h, l) on (x, y, z), then
+    # local->world = R(yaw)^T (rot is world->local, matching
+    # eval/metrics.fit_points_to_box's R_inv); r4 fix: this used to apply
+    # rot AGAIN, double-rotating subject points — a yawed box failed to
+    # contain itself (0.20 self-overlap at yaw=pi/4; tests/test_obb_oracle.py)
     scale = jnp.stack([size[:, 2], size[:, 1], size[:, 0]], -1)  # (N, 3)
     pts = pts_local[None] * scale[:, None, :]                    # (N, P, 3)
-    pts = jnp.einsum("nij,npj->npi", jnp.swapaxes(rot_inv, -1, -2), pts)
+    pts = jnp.einsum("nij,npj->npi", rot_inv, pts)
     pts = pts + center[:, None, :]
 
     # membership of every subject point in every object box
