@@ -26,18 +26,6 @@ PALLAS_MIN_SEQ = 512  # below this, plain einsum attention is faster on TPU
 _DISABLE = os.environ.get("ECHOSCENE_DISABLE_PALLAS_ATTN") == "1"
 
 
-def _bf16_scores() -> bool:
-    """Opt-in bf16 score tile on the one-pass flash path (quality/speed
-    trade, bf16 logit rounding — see kernels/flash_attention._onepass_kernel).
-
-    Read from the environment at TRACE time (every dot_product_attention
-    call), so the switch takes effect for whatever program is traced while
-    it is set — that includes a TRAINING forward if you set it around a
-    train step, not just sampling; the forward is the kernel either way and
-    the backward stays the exact einsum VJP."""
-    return os.environ.get("ECHOSCENE_FLASH_BF16_SCORES") == "1"
-
-
 def _einsum_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     d = q.shape[-1]
@@ -68,7 +56,7 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if use_pallas:
         from .flash_attention import flash_attention
         try:
-            return flash_attention(q, k, v, 256, _bf16_scores())
+            return flash_attention(q, k, v, 256)
         except Exception:  # pragma: no cover - fall back if lowering fails
             pass
     return _einsum_attention(q, k, v, mask)

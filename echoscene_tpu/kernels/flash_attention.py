@@ -70,7 +70,7 @@ def _stream_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
 
 
-def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, score_dtype=jnp.float32):
+def _onepass_kernel(q_ref, k_ref, v_ref, o_ref):
     """Whole-K tile in VMEM; single-pass softmax.  Fastest when K fits —
     re-measured with input-varying + D2H timing (BASELINE.md timing trap):
     in a 20-step lax.scan at the 1024-token UNet3D site, one-pass 4.94 ms,
@@ -82,25 +82,25 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, score_dtype=jnp.float32):
     denominator is applied AFTER the AV matmul ((q_block, d_pad) elements
     instead of (q_block, S) — ~S/d_pad fewer VPU ops).
 
-    score_dtype=bfloat16 halves the score-tile VMEM traffic (the MXU writes
-    the QK output directly in bf16; max/exp run on the bf16 tile, the
-    denominator still accumulates in f32).  Costs ~bf16-rounding of the
-    softmax logits — opt-in, NOT used by the protocol path."""
+    The score tile is f32 by Mosaic decree, not just for quality: an r3
+    bf16-score-tile variant failed chip verification in r4 ("tpu.matmul op
+    Expected matmul acc to be 32-bit") and was removed — BASELINE.md
+    round-4 close-out."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     scores = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=score_dtype)
+                                 preferred_element_type=jnp.float32)
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
-    inv_l = 1.0 / jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    inv_l = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o_ref[0] = (o * inv_l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("q_block", "bf16_scores"))
-def _onepass_impl(q, k, v, q_block: int = 256, bf16_scores: bool = False):
+@functools.partial(jax.jit, static_argnames=("q_block",))
+def _onepass_impl(q, k, v, q_block: int = 256):
     b, l, h, d = q.shape
     s = k.shape[1]
     scale = d ** -0.5
@@ -123,11 +123,8 @@ def _onepass_impl(q, k, v, q_block: int = 256, bf16_scores: bool = False):
     qp = prep(q, l, l_pad, mult=scale)
     kp = prep(k, s, s)
     vp = prep(v, s, s)
-    body = functools.partial(
-        _onepass_kernel,
-        score_dtype=jnp.bfloat16 if bf16_scores else jnp.float32)
     out = pl.pallas_call(
-        body,
+        _onepass_kernel,
         grid=(b * h, l_pad // q_block),
         in_specs=[
             pl.BlockSpec((1, q_block, d_pad), lambda i, j: (i, j, 0),
@@ -219,35 +216,25 @@ def _einsum_reference(q, k, v):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _flash_attention_fwd_impl(q, k, v, q_block: int = 256,
-                              bf16_scores: bool = False):
+def _flash_attention_fwd_impl(q, k, v, q_block: int = 256):
     d_pad = _round_up(q.shape[-1], 128)
     if _kv_fits_vmem(k.shape[1], d_pad):
-        return _onepass_impl(q, k, v, q_block, bf16_scores=bf16_scores)
+        return _onepass_impl(q, k, v, q_block)
     return _stream_impl(q, k, v, q_block)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    q_block: int = 256,
-                    bf16_scores: bool = False) -> jnp.ndarray:
-    """q: (B, L, H, D); k, v: (B, S, H, D) -> (B, L, H, D).
-
-    bf16_scores: opt-in bf16 score tile on the one-pass path (see
-    _onepass_kernel) — a quality/speed trade, never the default.  It applies
-    to whichever forward is traced with it (the env switch in
-    kernels/attention.py is read at trace time, so a training forward traced
-    under ECHOSCENE_FLASH_BF16_SCORES=1 uses it too; the backward is always
-    the exact einsum VJP).
-    """
-    return _flash_attention_fwd_impl(q, k, v, q_block, bf16_scores)
+                    q_block: int = 256) -> jnp.ndarray:
+    """q: (B, L, H, D); k, v: (B, S, H, D) -> (B, L, H, D)."""
+    return _flash_attention_fwd_impl(q, k, v, q_block)
 
 
-def _fa_fwd(q, k, v, q_block, bf16_scores):
-    return _flash_attention_fwd_impl(q, k, v, q_block, bf16_scores), (q, k, v)
+def _fa_fwd(q, k, v, q_block):
+    return _flash_attention_fwd_impl(q, k, v, q_block), (q, k, v)
 
 
-def _fa_bwd(q_block, bf16_scores, res, g):
+def _fa_bwd(q_block, res, g):
     q, k, v = res
     _, vjp = jax.vjp(_einsum_reference, q, k, v)
     return vjp(g)

@@ -48,8 +48,6 @@ def timeit(fn, q, k, v, label):
 
 
 def run_site(b, l, h, d, dtype):
-    import numpy as np
-
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
     q = jax.random.normal(kq, (b, l, h, d), dtype)
@@ -61,14 +59,6 @@ def run_site(b, l, h, d, dtype):
     t_f = timeit(lambda q, k, v: flash_attention(q, k, v),
                  q, k, v, "flash ")
     print(f"speedup flash vs einsum: {t_e / t_f:.3f}x")
-    # bf16 score tile (opt-in; r3 candidate): time + one-shot deviation probe
-    t_b = timeit(lambda q, k, v: flash_attention(q, k, v, 256, True),
-                 q, k, v, "flash-bf16s")
-    y32 = np.asarray(flash_attention(q, k, v), np.float32)
-    y16 = np.asarray(flash_attention(q, k, v, 256, True), np.float32)
-    rel = np.abs(y16 - y32).mean() / (np.abs(y32).mean() + 1e-9)
-    print(f"bf16-scores vs f32-scores: {t_f / t_b:.3f}x, "
-          f"mean rel deviation {rel:.2e}")
 
 
 def main():

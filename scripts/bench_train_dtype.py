@@ -32,6 +32,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _enable_compile_cache():
+    """The timing and convergence phases build IDENTICAL train scans; the
+    persistent cache makes the second lowering near-free (tunnel compiles
+    are 5-15 min each)."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/echoscene_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def convergence_run(dtype: str, steps: int, batch_scenes: int = 8):
     """Run `steps` optimizer steps; returns the per-step loss array."""
     import jax
@@ -78,6 +92,7 @@ def main(argv=None):
     p.add_argument("--skip_convergence", action="store_true")
     args = p.parse_args(argv)
 
+    _enable_compile_cache()
     import numpy as np
 
     from echoscene_tpu.benchmarks import (build_flagship, chip_peak_flops,

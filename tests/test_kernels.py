@@ -23,25 +23,6 @@ def test_flash_attention_matches_einsum(rng):
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_flash_attention_bf16_scores_close(rng):
-    """Opt-in bf16 score tile: same math at bf16 logit rounding (sampling-only
-    quality/speed trade, BASELINE.md round-3)."""
-    from jax.experimental.pallas import tpu as pltpu
-    from echoscene_tpu.kernels.flash_attention import flash_attention
-
-    b, l, h, d = 2, 64, 2, 24
-    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
-    ref = _einsum_attention(q, k, v, None)
-    with pltpu.force_tpu_interpret_mode():
-        out = flash_attention(q, k, v, 32, True)
-    assert out.shape == ref.shape
-    rel = np.abs(np.asarray(out) - np.asarray(ref)).mean() / (
-        np.abs(np.asarray(ref)).mean() + 1e-9)
-    assert rel < 0.02, rel   # bf16 logit rounding, NOT f32-exact
-
-
 def test_streaming_attention_matches_einsum(rng):
     """The K-streaming variant (online softmax) must agree with einsum."""
     from jax.experimental.pallas import tpu as pltpu

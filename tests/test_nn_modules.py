@@ -63,7 +63,10 @@ def _layout_model(key: str):
     return _LAYOUT_CACHE[key]
 
 
-@pytest.mark.parametrize("key", ["crossattn", "concat"])
+@pytest.mark.parametrize("key", [
+    "crossattn",
+    pytest.param("concat", marks=pytest.mark.slow),  # second full compile
+])
 def test_layout_denoiser_shapes(key):
     _, _, (box, *_), out = _layout_model(key)
     assert out.shape == (box.shape[0], 8)

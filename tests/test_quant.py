@@ -1,5 +1,6 @@
 """Int8Conv: parameter compatibility with flax Conv + quantization accuracy."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -54,8 +55,12 @@ def test_int8_dense_param_compat_and_accuracy():
     assert rel.mean() < 0.02, rel.mean()
 
 
+@pytest.mark.slow
 def test_attention_int8_sentinel_tracks_f32():
     """SpatialTransformer under 'int8': same params, close output.
+
+    slow: full-transformer int8 compile ~40s on the 1-core image; the int8
+    primitives (Int8Conv/Int8Dense/quantize) stay in the default selection.
 
     Params are PERTURBED before the comparison: proj_out is zero-init
     (reference zero_module), so on pristine params both paths return the
@@ -106,9 +111,12 @@ def test_quantize_act_fixed_scale_hook(monkeypatch):
     np.testing.assert_array_equal(np.asarray(q_fix, np.float32), expect)
 
 
+@pytest.mark.slow
 def test_shape_denoiser_int8_mode_tracks_f32(shape_den_small):
     """ShapeDenoiser under the 'int8' sentinel: same param tree as the f32
     module, output within quantization tolerance.
+
+    slow: the int8 UNet apply compile alone is ~50s on the 1-core image.
 
     Runs on PERTURBED params: the output head is zero-init (reference
     zero_module), so on pristine params both paths return exactly zero and
