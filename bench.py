@@ -6,8 +6,11 @@ GCN inside every denoising step of both) + VQ-VAE decode to 64^3 SDF grids —
 at flagship model dimensions.  The single JSON line additionally records
   * fast_profile: the opt-in serving configuration (int8 W8A8 shape-UNet
     convs + DPM-Solver++(2M) 50-step layout / 20-step shape), and
-  * train_scenes_per_sec: the flagship train step (8 scenes, f32, both
-    branches + AdamW), timed as one dispatched lax.scan of 8 steps,
+  * train_scenes_per_sec: the flagship train step (8 scenes, bf16 mixed
+    precision — f32 master params/AdamW state, bf16 module compute; the
+    r4 A/B measured +15.5% over f32 with 600-step convergence within the
+    f32 tail's 3-sigma noise, BASELINE.md round-4), timed as one
+    dispatched lax.scan of 8 steps,
 so the driver-captured BENCH_r{N}.json catches regressions in all three.
 
 The reference never measured throughput (its timing code is commented out,
@@ -35,9 +38,14 @@ def main():
 
     batch_scenes = 8
     # tight node capacity: padded rows cost full denoiser FLOPs in the chains
+    # compute_dtype bfloat16 = the VALIDATED training configuration (r4 A/B:
+    # 44.58 vs 38.60 scenes/sec/chip, convergence within f32 noise).  The
+    # sampling path is unaffected: it runs on the inference twin, which is
+    # built with sample_dtype (bf16) structure either way.
     sg, state, batch = build_flagship(max_nodes=48, max_triples=112,
                                       diffusion_bs=8,
-                                      batch_scenes=batch_scenes)
+                                      batch_scenes=batch_scenes,
+                                      compute_dtype="bfloat16")
     scenes_per_sec, sample_flops = time_generation(
         sg, state, batch, batch_scenes, return_flops=True)
     # train step second: time_train_step donates/consumes the state buffers

@@ -137,8 +137,11 @@ class SGDiff:
         # inference twin: same param structure, bf16 (or experimental int8
         # W8A8 shape-UNet convs) compute; GroupNorm/softmax stay f32 inside
         # the modules either way
-        if (cfg.sample_dtype in ("bfloat16", "int8")
-                and cfg.sample_dtype != cfg.compute_dtype):
+        # Built whenever sampling wants the bf16/int8 structure — even when
+        # compute_dtype is ALSO bfloat16 (validated mixed-precision training,
+        # BASELINE.md round-4 A/B): the twin's structural deltas (no remat,
+        # factored upsample) only apply to the forward-only sampling path.
+        if cfg.sample_dtype in ("bfloat16", "int8"):
             import copy as _copy
             infer_cfg = _copy.deepcopy(cfg)
             infer_cfg.compute_dtype = cfg.sample_dtype

@@ -48,3 +48,24 @@ def test_load_reference_yaml_directly():
     assert cfg.shape_branch.denoiser.model_channels == 224
     assert cfg.shape_branch.denoiser.message_passing is True
     assert cfg.shape_branch.vqvae.n_embed == 8192
+
+
+def test_bf16_training_keeps_inference_twin():
+    """compute_dtype=bfloat16 (validated mixed-precision training, BASELINE.md
+    round-4 A/B) must NOT collapse the inference twin into the train module:
+    the twin carries sampling-only structure (no remat, factored upsample)
+    independent of the training dtype."""
+    from echoscene_tpu.models.config import tiny_config
+    from echoscene_tpu.models.sgdiff import SGDiff
+
+    cfg = tiny_config()
+    cfg.compute_dtype = "bfloat16"
+    assert cfg.sample_dtype == "bfloat16"
+    sg = SGDiff(cfg, num_objs=8, num_preds=4)
+    assert sg.module_infer is not sg.module
+    icfg = sg.module_infer.cfg
+    assert icfg.compute_dtype == "bfloat16"
+    assert icfg.shape_branch.denoiser.use_checkpoint is False
+    assert icfg.shape_branch.denoiser.factored_upsample is True
+    # train module keeps its own structure
+    assert sg.module.cfg.shape_branch.vqvae.factored_upsample is False
