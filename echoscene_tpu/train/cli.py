@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preview_every", type=int, default=10000)
     p.add_argument("--dp_devices", type=int, default=1,
                    help="data-parallel devices (shard_map over a 'data' mesh)")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard the AdamW moments over the 'data' axis "
+                        "(ZeRO-1: reduce-scatter grads, all-gather params; "
+                        "same comm bytes as the replicated pmean step, "
+                        "2*P/N instead of 2*P optimizer floats per device). "
+                        "Requires --dp_devices > 1; incompatible with "
+                        "--grad_accum > 1.")
     p.add_argument("--sdf_res", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--vq_ckpt", default=None,
@@ -203,7 +210,7 @@ def main(argv=None):
     trainer = Trainer(sgdiff, dataset, spec, args.exp,
                       batch_scenes=args.batchSize, seed=args.seed,
                       writer=writer, latent_lookup=latent_lookup,
-                      dp_devices=args.dp_devices)
+                      dp_devices=args.dp_devices, zero1=args.zero1)
     if args.loadmodel:
         state = trainer.load(state, args.loadepoch)
     state = trainer.train(state, args.nepoch,

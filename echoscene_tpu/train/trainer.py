@@ -102,7 +102,7 @@ class Trainer:
                  spec: CollateSpec, exp_dir: str, batch_scenes: int = 64,
                  log_every: int = 50, ckpt_every_epochs: int = 100,
                  seed: int = 0, writer=None, latent_lookup=None,
-                 dp_devices: int = 1):
+                 dp_devices: int = 1, zero1: bool = False):
         self.sgdiff = sgdiff
         self.dataset = dataset
         self.spec = spec
@@ -114,7 +114,9 @@ class Trainer:
         self.key = jax.random.PRNGKey(seed)
         self.latent_lookup = latent_lookup
         self.dp_devices = dp_devices
+        self.zero1 = zero1
         self._dp_step = None
+        self._mesh = None
         os.makedirs(os.path.join(exp_dir, "checkpoint"), exist_ok=True)
         self.writer = writer
         self.loss_log = open(os.path.join(exp_dir, "loss_log.txt"), "a")
@@ -167,6 +169,7 @@ class Trainer:
               max_steps: Optional[int] = None,
               preview_every: int = 0) -> TrainState:
         from .profiling import StepTimer
+        state = self._maybe_zero1(state)
         counter = int(state.step)
         start_epoch = int(state.epoch)
         t_start = time.time()
@@ -174,12 +177,15 @@ class Trainer:
         timer = StepTimer(self.batch_scenes * max(1, self.dp_devices))
 
         if self.dp_devices > 1 and self._dp_step is None:
-            from ..parallel.mesh import make_mesh
-            from ..parallel.dp import build_dp_train_step
-            mesh = make_mesh((self.dp_devices,), ("data",),
-                             jax.devices()[:self.dp_devices])
-            self._dp_step = build_dp_train_step(
-                self.sgdiff, mesh, donate=True)(state)
+            mesh = self._get_mesh()
+            if self.zero1:
+                from ..parallel.zero import build_zero1_train_step
+                self._dp_step = build_zero1_train_step(
+                    self.sgdiff, mesh, donate=True)(state)
+            else:
+                from ..parallel.dp import build_dp_train_step
+                self._dp_step = build_dp_train_step(
+                    self.sgdiff, mesh, donate=True)(state)
         with InterruptHandler() as h:
             for epoch in range(start_epoch, epochs):
                 it = Prefetcher(lambda: batch_iterator(
@@ -235,6 +241,23 @@ class Trainer:
                   f"({steps_done / dt:.3f} steps/s)")
         return state
 
+    def _get_mesh(self):
+        if self._mesh is None:
+            from ..parallel.mesh import make_mesh
+            self._mesh = make_mesh((self.dp_devices,), ("data",),
+                                   jax.devices()[:self.dp_devices])
+        return self._mesh
+
+    def _maybe_zero1(self, state: TrainState) -> TrainState:
+        """Swap the replicated optax state for a sharded Zero1State when the
+        zero1 path is selected (idempotent; also applied before restore so a
+        zero1 checkpoint restores against the matching template)."""
+        if self.zero1 and self.dp_devices > 1:
+            from ..parallel.zero import Zero1State, init_zero1_state
+            if not isinstance(state.opt_state, Zero1State):
+                state = init_zero1_state(state, self._get_mesh())
+        return state
+
     def save(self, state: TrainState, epoch: int):
         path = os.path.join(self.exp_dir, "checkpoint", f"model{epoch}")
         save_checkpoint(path, state)
@@ -242,7 +265,7 @@ class Trainer:
 
     def load(self, state: TrainState, epoch: int) -> TrainState:
         path = os.path.join(self.exp_dir, "checkpoint", f"model{epoch}")
-        return restore_checkpoint(path, state)
+        return restore_checkpoint(path, self._maybe_zero1(state))
 
 
 def dump_args(exp_dir: str, args: dict):
