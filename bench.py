@@ -33,6 +33,19 @@ REFERENCE_SCENES_PER_SEC = 0.09
 
 
 def main():
+    import os
+
+    import jax
+    try:
+        # persistent compile cache: the three flagship programs cost
+        # ~15-20 min of tunnel compiles cold; warm re-runs skip all of it
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/echoscene_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     from echoscene_tpu.benchmarks import (build_flagship, chip_peak_flops,
                                           time_generation, time_train_step)
 
@@ -60,9 +73,12 @@ def main():
     fast_sps = time_generation(sg_f, state_f, batch_f, batch_scenes)
 
     # MFU vs the chip's dense bf16 MXU peak (machine-checked form of the
-    # BASELINE.md conv-ceiling claim: XLA's analytic FLOP count for the
-    # compiled program / measured wall time / spec-sheet peak); null when
-    # the backend exposes no cost analysis or the chip is unknown.
+    # BASELINE.md conv-ceiling claim: trip-count-correct analytic FLOPs /
+    # measured wall time / spec-sheet peak — XLA's cost analysis counts a
+    # lax.scan body once, so the chains' per-body counts are recovered from
+    # uncompiled lowerings and multiplied by the chain lengths,
+    # benchmarks.sample_chain_flops); null when the backend exposes no cost
+    # analysis or the chip is unknown.
     peak = chip_peak_flops()
     mfu_sample = (sample_flops * scenes_per_sec / batch_scenes / peak
                   if peak and sample_flops else None)

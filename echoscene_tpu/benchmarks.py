@@ -21,7 +21,8 @@ def build_flagship(max_nodes: int = 64, max_triples: int = 128,
                    config_path: Optional[str] = None,
                    sample_dtype: Optional[str] = None,
                    compute_dtype: Optional[str] = None,
-                   fast_profile: bool = False) -> Tuple:
+                   fast_profile: bool = False,
+                   latents: bool = False) -> Tuple:
     """Flagship EchoScene (full_mp.yaml dims) + one synthetic collated batch.
 
     Returns (sgdiff, train_state, scene_batch).  `tiny=True` keeps the
@@ -73,7 +74,28 @@ def build_flagship(max_nodes: int = 64, max_triples: int = 128,
     sg = SGDiff(cfg, num_objs=len(ds.classes), num_preds=len(ds.pred_names),
                 iou_stats=ds.box_stats)
     state = sg.init(jax.random.PRNGKey(0), batch)
+    if latents:
+        batch = to_latent_batch(sg, state, batch)
     return sg, state, batch
+
+
+def to_latent_batch(sg, state, batch):
+    """Swap the shape sub-batch's SDF grids for the frozen VQ encoder's
+    latents — the scripts/precompute_latents.py training configuration.
+
+    The latents are produced by the SAME module method the loss would run
+    (EchoSceneModule.encode_sdf), so loss values match the SDF path to
+    float rounding while the per-step frozen-VQ encode (diffusion_bs x 64^3
+    grids through the encoder, every optimizer step) drops out of the
+    compiled train program entirely."""
+    import jax
+
+    from .models.echo_scene import EchoSceneModule
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    z = jax.jit(lambda v, s: sg.module.apply(
+        v, s, method=EchoSceneModule.encode_sdf))(variables, batch.shapes.sdf)
+    return batch.replace(shapes=batch.shapes.replace(sdf=None, latent=z))
 
 
 def shrink_config(cfg) -> None:
@@ -113,8 +135,14 @@ def shrink_config(cfg) -> None:
 
 
 def _compiled_flops(compiled) -> Optional[float]:
-    """XLA's analytic FLOP count for a compiled executable (None if the
-    backend does not expose cost analysis)."""
+    """XLA's analytic FLOP count for a compiled executable OR an uncompiled
+    jax.stages.Lowered (both expose cost_analysis; the Lowered form needs no
+    backend compile — pure tracing).  None if unavailable.
+
+    CAVEAT (pinned by tests/test_bench_helpers.py::test_scan_body_counted_once):
+    the count includes a lax.scan / lax.map / while-loop BODY exactly ONCE,
+    regardless of trip count.  Aggregates over chain programs therefore
+    undercount by the chain length — use sample_chain_flops for sampling."""
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -123,6 +151,119 @@ def _compiled_flops(compiled) -> Optional[float]:
         return f if f > 0 else None
     except Exception:
         return None
+
+
+def _abstract(tree):
+    """Shape/dtype skeleton of a pytree — lowering with abstract args never
+    touches device data AND lets jit pick the backend from the ambient
+    default device (committed arrays would pin it)."""
+    import jax
+
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "dtype") else x, tree)
+
+
+_LOWERED_CA_WORKS: Optional[bool] = None
+
+
+def _default_backend_lowered_ca() -> bool:
+    """Once per process: does Lowered.cost_analysis work on the default
+    backend?  (It returns None on the axon TPU plugin.)  Probed with a tiny
+    matmul so the big chain programs are only lowered on a backend whose
+    analysis will actually be read."""
+    global _LOWERED_CA_WORKS
+    if _LOWERED_CA_WORKS is None:
+        import jax
+        import jax.numpy as jnp
+
+        lo = jax.jit(lambda a: a @ a).lower(
+            jax.ShapeDtypeStruct((8, 8), jnp.float32))
+        _LOWERED_CA_WORKS = _compiled_flops(lo) is not None
+    return _LOWERED_CA_WORKS
+
+
+def _trace_flops(fn, *args) -> Optional[float]:
+    """Analytic FLOPs of fn(*args) from an UNCOMPILED lowering (tracing only).
+
+    The axon TPU plugin's Lowered.cost_analysis returns None, so fall back to
+    lowering the same function for the in-process CPU backend — the count is
+    platform-independent HLO arithmetic."""
+    import jax
+
+    args = _abstract(args)
+    if _default_backend_lowered_ca():
+        return _compiled_flops(jax.jit(fn).lower(*args))
+    try:
+        cpu = jax.devices("cpu")
+    except Exception:
+        return None
+    from .kernels import attention as _attn
+    old = _attn._DISABLE
+    _attn._DISABLE = True   # the Mosaic flash kernel doesn't lower for CPU;
+    try:                    # einsum attention counts the same matmul FLOPs
+        with jax.default_device(cpu[0]):
+            return _compiled_flops(jax.jit(fn).lower(*args))
+    finally:
+        _attn._DISABLE = old
+
+
+def sample_chain_flops(sg, state, batch, rows: int, gen_shape: bool = True,
+                       decode_chunk: int = 8) -> Optional[float]:
+    """Trip-count-correct FLOPs for ONE sampling dispatch.
+
+    XLA's cost analysis counts loop bodies once (see _compiled_flops), so the
+    protocol chain's aggregate understates the real work by ~3 orders of
+    magnitude (1000-step layout scan + 100-step shape scan + chunked VQ
+    decode map).  Recover per-body counts from uncompiled lowerings
+    (_trace_flops — tracing only, no backend compile):
+
+        A = full program        = prologue + layout_body + shape_body + decode_body
+        B = gen_shape=False     = prologue + layout_body
+        D = decode-chunk apply  = decode_body
+
+        total = T_layout * B + T_shape * (A - B - D) + n_chunks * D
+
+    The context-GCN prologue rides inside B, overcounting each layout step by
+    one GCN pass (<0.2% of the protocol total).  `state` may hold abstract
+    ShapeDtypeStructs (jax.eval_shape of init) — nothing here executes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models.echo_scene import EchoSceneModule
+
+    args = (state.params, state.batch_stats, batch, jax.random.PRNGKey(0))
+
+    def sample(gen):
+        return lambda p, bs, b, k: sg.sample_fn(p, bs, b, k, gen_shape=gen,
+                                                shape_rows=rows)
+
+    lc = sg.cfg.layout_diffusion
+    t_layout = lc.time_num if lc.sampler == "ddpm" else lc.sample_steps
+    b_flops = _trace_flops(sample(False), *args)
+    if b_flops is None:
+        return None
+    if not (gen_shape and sg.is_echoscene):
+        return t_layout * b_flops
+
+    a_flops = _trace_flops(sample(True), *args)
+    sd = sg.cfg.shape_branch
+    r, zc = sd.denoiser.image_size, sd.vqvae.embed_dim
+    mp = -(-rows // decode_chunk) * decode_chunk
+    n_chunks = mp // decode_chunk if mp > decode_chunk else 1
+    chunk_rows = decode_chunk if mp > decode_chunk else mp
+    z = jnp.zeros((chunk_rows, r, r, r, zc), jnp.float32)
+    d_flops = _trace_flops(
+        lambda p, bs, zz: sg.module_infer.apply(
+            {"params": p, "batch_stats": bs}, zz,
+            method=EchoSceneModule.decode_latent),
+        state.params, state.batch_stats, z)
+    if a_flops is None or d_flops is None:
+        return None
+    shape_body = max(a_flops - b_flops - d_flops, 0.0)
+    return (t_layout * b_flops + sd.ddim_steps * shape_body
+            + n_chunks * d_flops)
 
 
 def chip_peak_flops() -> Optional[float]:
@@ -149,8 +290,10 @@ def time_generation(sg, state, batch, batch_scenes: int, n_iters: int = 3,
     """Compile + warm up, then average scenes/sec over `n_iters` calls.
 
     return_flops=True: returns (scenes_per_sec, flops_per_call) where
-    flops_per_call is XLA's analytic count for ONE sample dispatch
-    (batch_scenes scenes) — the numerator of mfu_sample in bench.py.
+    flops_per_call is the trip-count-correct analytic count for ONE sample
+    dispatch (batch_scenes scenes; sample_chain_flops — the raw compiled
+    aggregate counts each chain's scan body only once) — the numerator of
+    mfu_sample in bench.py.
     """
     import jax
 
@@ -163,9 +306,11 @@ def time_generation(sg, state, batch, batch_scenes: int, n_iters: int = 3,
         lambda p, bs, b, k: sg.sample_fn(p, bs, b, k, gen_shape=gen_shape,
                                          shape_rows=rows))
     args = (state.params, state.batch_stats, batch, jax.random.PRNGKey(0))
-    # AOT path: one explicit compile serves the cost analysis AND every call
+    # AOT path: one explicit compile serves every timed call; the FLOP count
+    # comes from cheap uncompiled lowerings (sample_chain_flops)
     compiled = sample.lower(*args).compile()
-    flops = _compiled_flops(compiled)
+    flops = (sample_chain_flops(sg, state, batch, rows, gen_shape=gen_shape)
+             if return_flops else None)
     out = compiled(*args)
     jax.block_until_ready(out)
     float(out["sizes"].sum())  # D2H readback — see timing note below
@@ -193,9 +338,11 @@ def time_train_step(sg, state, batch, batch_scenes: int, k: int = 8,
     optimizer steps (host-driven per-step dispatch timing through the tunnel
     is too noisy to trust for ~200 ms programs — BASELINE.md r2 notes).
 
-    return_flops=True: returns (scenes_per_sec, flops_per_step) — XLA's
-    analytic count for the whole k-step scan divided by k, i.e. ONE
-    fwd+bwd+AdamW optimizer step on batch_scenes scenes.
+    return_flops=True: returns (scenes_per_sec, flops_per_step) — ONE
+    fwd+bwd+AdamW optimizer step on batch_scenes scenes.  XLA's cost
+    analysis counts the k-step scan's body exactly ONCE (pinned by
+    tests/test_bench_helpers.py), so the program aggregate IS the per-step
+    count (plus a negligible out-of-scan prologue) — do NOT divide by k.
     """
     import functools
 
@@ -230,4 +377,4 @@ def time_train_step(sg, state, batch, batch_scenes: int, k: int = 8,
     dt = time.perf_counter() - t0
     assert acc == acc
     sps = batch_scenes * k / dt
-    return (sps, flops / k if flops else None) if return_flops else sps
+    return (sps, flops) if return_flops else sps
