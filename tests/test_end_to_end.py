@@ -138,3 +138,23 @@ def test_sample_with_manipulation_keep_mask(setup):
     keep = np.asarray(out["keep"])
     assert (keep == 1 - np.asarray(batch.change_flags)).all()
     ds.eval_mode = False
+
+
+def test_latent_batch_loss_matches_sdf(setup):
+    """Precomputed-latent training (scripts/precompute_latents.py,
+    --latent_cache): feeding encode_sdf's output as shapes.latent must
+    reproduce the SDF path's loss to float rounding — the frozen encode is
+    deterministic, so caching it is a pure compute-motion optimization."""
+    from echoscene_tpu.benchmarks import to_latent_batch
+
+    _, _, batch, sg, state = setup
+    lb = to_latent_batch(sg, state, batch)
+    assert lb.shapes.sdf is None and lb.shapes.latent is not None
+    rng = jax.random.PRNGKey(5)
+    l_sdf, (_, m_sdf) = jax.jit(sg.loss_fn)(state.params, state.batch_stats,
+                                            batch, rng)
+    l_lat, (_, m_lat) = jax.jit(sg.loss_fn)(state.params, state.batch_stats,
+                                            lb, rng)
+    np.testing.assert_allclose(float(l_lat), float(l_sdf), rtol=1e-5)
+    np.testing.assert_allclose(float(m_lat["shape_loss"]),
+                               float(m_sdf["shape_loss"]), rtol=1e-5)
