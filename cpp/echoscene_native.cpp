@@ -17,6 +17,7 @@
 #include <algorithm>
 #include <random>
 #include <limits>
+#include <unordered_map>
 
 extern "C" {
 
@@ -150,6 +151,12 @@ void emd_batch(const float* a, const float* b, int bs, int n, int iters,
 // (shared diagonals), adequate for the SDF->mesh uses here (point sampling,
 // rendering) — the role mcubes plays in the reference
 // (model/diff_utils/util_3d.py:194-236).
+//
+// Vertices are WELDED: every emitted vertex lies on a lattice edge (tet
+// corners are always grid points), so a hash keyed by the edge's two lattice
+// ids dedups shared vertices exactly — output is an indexed mesh with ~6x
+// fewer vertices than the per-triangle soup, which shrinks every downstream
+// host pass (box fitting, serialization) proportionally.
 // ---------------------------------------------------------------------------
 static inline void vert_interp(float level, const float* p1, const float* p2,
                                float v1, float v2, float* out) {
@@ -161,10 +168,36 @@ static inline void vert_interp(float level, const float* p1, const float* p2,
     out[2] = p1[2] + mu * (p2[2] - p1[2]);
 }
 
+struct WeldCtx {
+    std::unordered_map<uint64_t, int32_t> map;
+    float* verts;
+    int max_verts;
+    int nv = 0;
+};
+
+// vertex on the lattice edge (ia, ib); canonical orientation (smaller id
+// first) makes the interpolated position bit-identical across the tets that
+// share the edge, so the hash weld is exact.  Returns -1 on overflow.
+static int32_t weld_vert(WeldCtx& W, float level, uint64_t ia, uint64_t ib,
+                         const float* pa, const float* pb, float va, float vb) {
+    if (ia > ib) {
+        std::swap(ia, ib);
+        std::swap(pa, pb);
+        std::swap(va, vb);
+    }
+    const uint64_t key = (ia << 32) | ib;
+    auto it = W.map.find(key);
+    if (it != W.map.end()) return it->second;
+    if (W.nv >= W.max_verts) return -1;
+    vert_interp(level, pa, pb, va, vb, W.verts + 3 * W.nv);
+    const int32_t id = W.nv++;
+    W.map.emplace(key, id);
+    return id;
+}
+
 // emit triangles for one tetrahedron; returns triangles written (0..2)
-static int do_tet(float level, const float p[4][3], const float v[4],
-                  float* verts_out, int32_t* tris_out, int nv, int nt,
-                  int max_verts, int max_tris) {
+static int do_tet(WeldCtx& W, float level, const float p[4][3], const float v[4],
+                  const uint64_t ids[4], int32_t* tris_out, int nt, int max_tris) {
     int inside = 0;
     for (int i = 0; i < 4; ++i)
         if (v[i] < level) inside |= (1 << i);
@@ -172,25 +205,23 @@ static int do_tet(float level, const float p[4][3], const float v[4],
 
     // collect crossing edges (pairs with differing sides)
     static const int E[6][2] = {{0,1},{0,2},{0,3},{1,2},{1,3},{2,3}};
-    float pts[4][3];
+    int32_t vid[4];
     int np = 0;
     for (int e = 0; e < 6; ++e) {
         const int a = E[e][0], b = E[e][1];
         const bool ia = (inside >> a) & 1, ib = (inside >> b) & 1;
         if (ia != ib && np < 4)
-            vert_interp(level, p[a], p[b], v[a], v[b], pts[np++]);
+            vid[np++] = weld_vert(W, level, ids[a], ids[b], p[a], p[b],
+                                  v[a], v[b]);
     }
     int emitted = 0;
     auto emit = [&](int i0, int i1, int i2) {
-        if (nt + emitted >= max_tris || nv + 3 * (emitted + 1) > max_verts)
-            return;
-        float* vo = verts_out + 3 * (nv + 3 * emitted);
+        if (nt + emitted >= max_tris) return;
+        if (vid[i0] < 0 || vid[i1] < 0 || vid[i2] < 0) return;
         int32_t* to = tris_out + 3 * (nt + emitted);
-        const int idx[3] = {i0, i1, i2};
-        for (int k = 0; k < 3; ++k) {
-            std::memcpy(vo + 3 * k, pts[idx[k]], 3 * sizeof(float));
-            to[k] = nv + 3 * emitted + k;
-        }
+        to[0] = vid[i0];
+        to[1] = vid[i1];
+        to[2] = vid[i2];
         ++emitted;
     };
     if (np == 3) {
@@ -205,11 +236,12 @@ static int do_tet(float level, const float p[4][3], const float v[4],
     return emitted;
 }
 
-// returns number of triangles written; caller provides capacities.
+// returns number of triangles written and the welded vertex count via
+// nv_out; caller provides capacities.
 int marching_cubes(const float* grid, int res, float level,
                    float* verts_out, int max_verts,
-                   int32_t* tris_out, int max_tris) {
-    int nv = 0, nt = 0;
+                   int32_t* tris_out, int max_tris, int32_t* nv_out) {
+    int nt = 0;
     const int r = res, r2 = res * res;
     auto G = [&](int x, int y, int z) -> float {
         return grid[(size_t)x * r2 + (size_t)y * r + z];
@@ -222,8 +254,14 @@ int marching_cubes(const float* grid, int res, float level,
         {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},
         {0, 3, 7, 6}, {0, 7, 4, 6}, {0, 4, 5, 6}};
 
+    WeldCtx W;
+    W.verts = verts_out;
+    W.max_verts = max_verts;
+    W.map.reserve((size_t)std::min(max_tris, 1 << 20));
+
     float cube[8];
     float pos[8][3];
+    uint64_t gid[8];
     for (int x = 0; x < res - 1; ++x)
         for (int y = 0; y < res - 1; ++y)
             for (int z = 0; z < res - 1; ++z) {
@@ -234,21 +272,22 @@ int marching_cubes(const float* grid, int res, float level,
                     pos[c][0] = (float)xx;
                     pos[c][1] = (float)yy;
                     pos[c][2] = (float)zz;
+                    gid[c] = (uint64_t)xx * r2 + (uint64_t)yy * r + zz;
                     (cube[c] < level ? any_in : any_out) = true;
                 }
                 if (!any_in || !any_out) continue;
                 for (int t = 0; t < 6; ++t) {
                     float tp[4][3], tv[4];
+                    uint64_t tid[4];
                     for (int k = 0; k < 4; ++k) {
                         std::memcpy(tp[k], pos[TETS[t][k]], 3 * sizeof(float));
                         tv[k] = cube[TETS[t][k]];
+                        tid[k] = gid[TETS[t][k]];
                     }
-                    const int made = do_tet(level, tp, tv, verts_out, tris_out,
-                                            nv, nt, max_verts, max_tris);
-                    nt += made;
-                    nv += 3 * made;
+                    nt += do_tet(W, level, tp, tv, tid, tris_out, nt, max_tris);
                 }
             }
+    *nv_out = W.nv;
     return nt;
 }
 

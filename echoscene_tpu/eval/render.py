@@ -42,21 +42,27 @@ def fit_verts_to_box(verts: np.ndarray, box7: Sequence[float]) -> np.ndarray:
     (px,py,pz) bottom center, angle = yaw (radians).
     """
     l, h, w, px, py, pz, angle = [float(v) for v in box7]
-    v = np.asarray(verts, np.float64).copy()
+    v = np.asarray(verts, np.float32)
     # bottom-center the canonical mesh then apply the -pi/2 yaw correction
-    lo, hi = v.min(0), v.max(0)
+    lo, hi = v.min(0).astype(np.float64), v.max(0).astype(np.float64)
     center = (lo + hi) / 2
     center[1] = lo[1]
-    v -= center
-    v = v @ get_rotation_3dfront(-np.pi / 2).T
-    # normalize extent per axis, scale to box
-    ext = v.max(0) - v.min(0)
+    R1 = get_rotation_3dfront(-np.pi / 2)
+    # the -pi/2 yaw permutes x/z (up to ~1e-16 cross terms), so the rotated
+    # per-axis extent is |R1| @ extent — computed on the (3,) stats, not the
+    # vertex array
+    ext = np.abs(R1) @ (hi - lo)
     ext[ext < 1e-8] = 1.0
-    v = v / ext * np.array([l, h, w])
-    # yaw + translate (T = [R_inv | t], fit_shapes_to_box_v2 :176-185)
-    R_inv = np.linalg.inv(get_rotation_3dfront(angle))
-    v = v @ R_inv.T + np.array([px, py, pz])
-    return v.astype(np.float32)
+    scale = np.array([l, h, w]) / ext
+    # yaw + translate (T = [R_inv | t], fit_shapes_to_box_v2 :176-185).
+    # The whole chain ((v-c) @ R1.T * s) @ R2inv.T + t collapses to one
+    # affine map v @ M + off — a single f32 pass over the vertex array
+    # (meshes from 64^3 grids reach ~1e6 rows; the multi-pass form dominated
+    # serving-path profiles).
+    R2_inv = np.linalg.inv(get_rotation_3dfront(angle))
+    M = (R1.T * scale[None, :]) @ R2_inv.T
+    off = np.array([px, py, pz]) - center @ M
+    return (v @ M.astype(np.float32) + off.astype(np.float32)).astype(np.float32)
 
 
 def box_mesh(box7: Sequence[float]) -> Tuple[np.ndarray, np.ndarray]:

@@ -45,7 +45,8 @@ def _load() -> Optional[ctypes.CDLL]:
                                 f32p, i32p]
     lib.marching_cubes.restype = ctypes.c_int
     lib.marching_cubes.argtypes = [f32p, ctypes.c_int, ctypes.c_float,
-                                   f32p, ctypes.c_int, i32p, ctypes.c_int]
+                                   f32p, ctypes.c_int, i32p, ctypes.c_int,
+                                   i32p]
     lib.sample_mesh.argtypes = [f32p, i32p, ctypes.c_int, ctypes.c_int,
                                 ctypes.c_uint64, f32p]
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -96,17 +97,23 @@ def emd_batch(a: np.ndarray, b: np.ndarray, iters: int = 30) -> np.ndarray:
 
 def marching_cubes(grid: np.ndarray, level: float = 0.0,
                    max_tris: int = 400000) -> Tuple[np.ndarray, np.ndarray]:
-    """grid: (R,R,R) SDF -> (verts (V,3) in voxel units, tris (T,3) int32)."""
+    """grid: (R,R,R) SDF -> (verts (V,3) in voxel units, tris (T,3) int32).
+
+    Vertices are welded (shared across triangles) — see
+    cpp/echoscene_native.cpp marching_cubes."""
     grid = np.ascontiguousarray(grid, np.float32)
     res = grid.shape[0]
     lib = _load()
     if lib is None:
         return _marching_tetrahedra_numpy(grid, level)
+    # welded count is ~nt/2 in practice; nt*3 stays the hard upper bound
     verts = np.zeros((max_tris * 3, 3), np.float32)
     tris = np.zeros((max_tris, 3), np.int32)
+    nv = np.zeros(1, np.int32)
     nt = lib.marching_cubes(_fp(grid), res, ctypes.c_float(level),
-                            _fp(verts), max_tris * 3, _ip(tris), max_tris)
-    return verts[:nt * 3].copy(), tris[:nt].copy()
+                            _fp(verts), max_tris * 3, _ip(tris), max_tris,
+                            _ip(nv))
+    return verts[:int(nv[0])].copy(), tris[:nt].copy()
 
 
 def sample_mesh(verts: np.ndarray, tris: np.ndarray, n_samples: int,

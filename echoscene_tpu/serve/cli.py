@@ -30,14 +30,34 @@ import threading
 from .service import service_from_experiment
 
 
-def run_http(service, host: str, port: int):
+def run_http(service, host: str, port: int, batch_window_ms: float = 0.0):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     lock = threading.Lock()   # one generation call at a time (single chip)
 
+    # batch_window_ms > 0: concurrent clients' requests coalesce into shared
+    # padded sampler dispatches (serve/batcher.py) instead of serializing
+    # one-by-one behind the lock
+    batcher = None
+    if batch_window_ms > 0:
+        from .batcher import MicroBatcher
+        batcher = MicroBatcher(service, max_wait_ms=batch_window_ms)
+
     MAX_BODY = 64 * 1024 * 1024   # reject absurd Content-Length up front
 
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.rstrip("/") != "/stats":
+                self.send_error(404)
+                return
+            body = json.dumps(batcher.stats() if batcher else
+                              {"batching": "off"}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
             if self.path.rstrip("/") not in ("", "/generate", "/v1/generate"):
                 self.send_error(404)
@@ -50,8 +70,11 @@ def run_http(service, host: str, port: int):
                 payload = json.loads(self.rfile.read(length) or b"[]")
                 if isinstance(payload, dict):
                     payload = [payload]
-                with lock:
-                    results = service.generate(payload)
+                if batcher is not None:
+                    results = batcher.generate(payload)
+                else:
+                    with lock:
+                        results = service.generate(payload)
                 body = json.dumps({"results": results}).encode()
                 self.send_response(200)
             except Exception as e:  # surface the error to the client
@@ -100,6 +123,10 @@ def build_parser():
     p.add_argument("--out", default=None, help="output JSON (batch mode)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=0, help="HTTP mode when > 0")
+    p.add_argument("--batch_window_ms", type=float, default=0.0,
+                   help="coalesce concurrent requests into shared sampler "
+                        "dispatches, waiting up to this long for companions "
+                        "(serve/batcher.py); 0 = serve one POST at a time")
     return p
 
 
@@ -113,7 +140,8 @@ def main(argv=None):
         layout_sampler=args.layout_sampler, layout_steps=args.layout_steps,
         shape_sampler=args.shape_sampler, shape_steps=args.shape_steps)
     if args.port:
-        run_http(service, args.host, args.port)
+        run_http(service, args.host, args.port,
+                 batch_window_ms=args.batch_window_ms)
         return None
     assert args.requests, "--requests or --port required"
     with open(args.requests) as f:

@@ -159,8 +159,12 @@ class GenerationService:
                  rel_dict: Dict[str, int],
                  clip: Optional[ClipTextEncoder] = None,
                  gen_shape: bool = True, return_meshes: bool = False,
-                 use_scene_rels: bool = True, seed: int = 0):
+                 use_scene_rels: bool = True, seed: int = 0,
+                 result_format: str = "json"):
         import jax
+        if result_format not in ("json", "arrays"):
+            raise ValueError(f"result_format must be json|arrays, got "
+                             f"{result_format!r}")
         self.sg = sg
         self.state = state
         self.spec = spec
@@ -170,6 +174,12 @@ class GenerationService:
         self.clip = clip or ClipTextEncoder("auto")
         self.gen_shape = gen_shape
         self.return_meshes = return_meshes
+        # "json": big payloads (sdfs/meshes) as nested Python lists, ready for
+        # json.dumps.  "arrays": numpy f32/int32 arrays — the production
+        # format (msgpack/npz/proto serializers take buffers; list-ifying
+        # ~1e6 floats per scene dominated serving profiles).  Boxes/angles
+        # stay lists in both (tiny, and the splice store mutates them).
+        self.result_format = result_format
         self.use_scene_rels = use_scene_rels
         self._key = jax.random.PRNGKey(seed)
         self._sample = jax.jit(
@@ -197,6 +207,7 @@ class GenerationService:
         }
         shapes = out_slice.get("shapes")
         if shapes is not None:
+            as_json = self.result_format == "json"
             sdfs = np.asarray(shapes[:n_real, ..., 0], np.float32)
             if self.return_meshes:
                 from ..eval.render import sdf_to_canonical_mesh, fit_verts_to_box
@@ -207,12 +218,15 @@ class GenerationService:
                         box7 = np.concatenate(
                             [boxes6[i], [out_slice["angles"][i, 0]]])
                         verts = fit_verts_to_box(verts, box7)
-                    meshes.append({"vertices": np.asarray(verts).tolist(),
-                                   "faces": np.asarray(faces).tolist()})
+                    verts = np.asarray(verts, np.float32)
+                    faces = np.asarray(faces, np.int32)
+                    meshes.append(
+                        {"vertices": verts.tolist() if as_json else verts,
+                         "faces": faces.tolist() if as_json else faces})
                 res["meshes"] = meshes
             else:
                 res["sdf_shape"] = list(sdfs.shape)
-                res["sdfs"] = sdfs.tolist()
+                res["sdfs"] = sdfs.tolist() if as_json else sdfs
         return res
 
     @staticmethod
@@ -370,7 +384,8 @@ def service_from_experiment(exp: str, dataset: Optional[str] = None,
                             layout_sampler: Optional[str] = None,
                             layout_steps: int = 0,
                             shape_sampler: Optional[str] = None,
-                            shape_steps: int = 0) -> GenerationService:
+                            shape_steps: int = 0,
+                            result_format: str = "json") -> GenerationService:
     """Rebuild the model from an experiment dir (args.json contract, same as
     eval.cli) and wrap it in a GenerationService."""
     import json
@@ -435,4 +450,5 @@ def service_from_experiment(exp: str, dataset: Optional[str] = None,
     return GenerationService(sg, state, spec, ds.box_stats, ds.classes,
                              ds.rel_dict, clip=clip, gen_shape=gen_shape,
                              return_meshes=return_meshes,
-                             use_scene_rels=margs["use_scene_rels"])
+                             use_scene_rels=margs["use_scene_rels"],
+                             result_format=result_format)

@@ -34,6 +34,25 @@ def test_marching_tets_sphere_radius():
     assert r.std() < 0.02
 
 
+def test_marching_tets_welded_manifold():
+    """Vertices are welded by lattice edge: the sphere mesh is a closed
+    2-manifold (every edge shared by exactly 2 triangles) with ~2 tris per
+    vertex instead of the 3-verts-per-tri soup."""
+    sdf = _sphere_sdf()
+    verts, tris = native.marching_cubes(sdf)
+    assert len(tris) > 0
+    assert tris.min() >= 0 and tris.max() < len(verts)
+    assert len(verts) < 0.6 * len(tris)          # welded, not a soup
+    edges = np.sort(np.concatenate(
+        [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()                   # closed surface
+    # no degenerate (repeated-index) triangles
+    assert (tris[:, 0] != tris[:, 1]).all()
+    assert (tris[:, 1] != tris[:, 2]).all()
+    assert (tris[:, 2] != tris[:, 0]).all()
+
+
 def test_native_chamfer_matches_jax(rng):
     a = rng.normal(size=(3, 128, 3)).astype(np.float32)
     b = rng.normal(size=(3, 128, 3)).astype(np.float32)

@@ -94,6 +94,34 @@ def test_generate_batches_and_descale(service):
         assert "sdfs" in r and r["sdf_shape"][0] == 3
 
 
+def test_result_format_arrays_and_meshes(service):
+    """arrays mode returns numpy payloads (no .tolist() marshaling) and the
+    mesh mode emits welded indexed meshes fitted to the predicted boxes."""
+    svc, ds = service
+    arr_svc = GenerationService(svc.sg, svc.state, svc.spec, svc.stats,
+                                svc.classes, svc.rel_dict, clip=svc.clip,
+                                gen_shape=True, return_meshes=True,
+                                result_format="arrays")
+    (r,) = arr_svc.generate([_request(ds, 0)])
+    assert len(r["meshes"]) == 3
+    for m in r["meshes"]:
+        assert isinstance(m["vertices"], np.ndarray)
+        assert m["vertices"].dtype == np.float32
+        assert isinstance(m["faces"], np.ndarray) and m["faces"].dtype == np.int32
+        if len(m["faces"]):
+            # welded: indexed into a shared (deduplicated) vertex buffer
+            assert m["faces"].max() < len(m["vertices"])
+            assert len(m["vertices"]) < 3 * len(m["faces"])
+    json_svc = GenerationService(svc.sg, svc.state, svc.spec, svc.stats,
+                                 svc.classes, svc.rel_dict, clip=svc.clip,
+                                 gen_shape=True, result_format="arrays")
+    (r,) = json_svc.generate([_request(ds, 0)])
+    assert isinstance(r["sdfs"], np.ndarray) and r["sdfs"].dtype == np.float32
+    with pytest.raises(ValueError):
+        GenerationService(svc.sg, svc.state, svc.spec, svc.stats, svc.classes,
+                          svc.rel_dict, result_format="msgpack")
+
+
 def test_manipulation_addition_keeps_untouched(service):
     """generate -> add a node against the previous response: untouched
     objects' boxes are spliced from the previous result (keep mask honored,
@@ -178,3 +206,37 @@ def test_http_round_trip(service):
         assert e.code == 400
         assert "error" in json.loads(e.read())
     assert raised
+
+
+def test_microbatcher_coalesces_and_isolates(service):
+    """Concurrent submits coalesce into shared dispatches; a malformed
+    request fails alone (individual retry), not its batch neighbors."""
+    from echoscene_tpu.serve.batcher import MicroBatcher
+
+    svc, ds = service
+    mb = MicroBatcher(svc, max_wait_ms=250.0)
+    try:
+        futs = [mb.submit(_request(ds, 100 + i)) for i in range(4)]
+        results = [f.result(timeout=600) for f in futs]
+        assert [r["id"] for r in results] == [f"q{100 + i}" for i in range(4)]
+        st = mb.stats()
+        assert st["requests"] == 4
+        # 4 submits landed while the worker waited out one window -> fewer
+        # dispatches than requests
+        assert st["batches"] < 4
+        assert st["mean_batch_size"] > 1.0
+
+        # one bad request among good ones: only the bad future raises
+        good1 = mb.submit(_request(ds, 200))
+        bad = mb.submit({"objects": ["not-a-class"], "triples": [],
+                         "id": "qbad"})
+        good2 = mb.submit(_request(ds, 201))
+        assert good1.result(timeout=600)["id"] == "q200"
+        assert good2.result(timeout=600)["id"] == "q201"
+        with pytest.raises(KeyError):
+            bad.result(timeout=600)
+        assert mb.stats()["isolated_failures"] >= 1
+    finally:
+        mb.close()
+    with pytest.raises(RuntimeError):
+        mb.submit(_request(ds, 300))
