@@ -22,7 +22,8 @@ def build_flagship(max_nodes: int = 64, max_triples: int = 128,
                    sample_dtype: Optional[str] = None,
                    compute_dtype: Optional[str] = None,
                    fast_profile: bool = False,
-                   latents: bool = False) -> Tuple:
+                   latents: bool = False,
+                   use_checkpoint: Optional[bool] = None) -> Tuple:
     """Flagship EchoScene (full_mp.yaml dims) + one synthetic collated batch.
 
     Returns (sgdiff, train_state, scene_batch).  `tiny=True` keeps the
@@ -64,6 +65,12 @@ def build_flagship(max_nodes: int = 64, max_triples: int = 128,
         cfg.layout_diffusion.sample_steps = 50
         cfg.shape_branch.sampler = "dpmpp"
         cfg.shape_branch.ddim_steps = 20
+    if use_checkpoint is not None:
+        # remat A/B hook (scripts/bench_train_remat.py): the reference trains
+        # with gradient checkpointing always on (config/full_mp.yaml
+        # `checkpoint: True`); on TPU the memory it saves may not be needed
+        cfg.layout_denoiser.use_checkpoint = use_checkpoint
+        cfg.shape_branch.denoiser.use_checkpoint = use_checkpoint
     if tiny:
         shrink_config(cfg)
     spec = CollateSpec(max_nodes=max_nodes, max_triples=max_triples,
