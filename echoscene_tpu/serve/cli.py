@@ -123,6 +123,10 @@ def build_parser():
     p.add_argument("--out", default=None, help="output JSON (batch mode)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=0, help="HTTP mode when > 0")
+    p.add_argument("--dp_devices", type=int, default=1,
+                   help="spread micro-batches over this many chips on a "
+                        "('data',) mesh (sampling is embarrassingly "
+                        "parallel over scenes)")
     p.add_argument("--batch_window_ms", type=float, default=0.0,
                    help="coalesce concurrent requests into shared sampler "
                         "dispatches, waiting up to this long for companions "
@@ -138,7 +142,8 @@ def main(argv=None):
         max_nodes=args.max_nodes, max_triples=args.max_triples,
         max_scenes=args.max_scenes, sample_dtype=args.sample_dtype,
         layout_sampler=args.layout_sampler, layout_steps=args.layout_steps,
-        shape_sampler=args.shape_sampler, shape_steps=args.shape_steps)
+        shape_sampler=args.shape_sampler, shape_steps=args.shape_steps,
+        dp_devices=args.dp_devices)
     if args.port:
         run_http(service, args.host, args.port,
                  batch_window_ms=args.batch_window_ms)

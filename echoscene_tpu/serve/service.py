@@ -160,7 +160,7 @@ class GenerationService:
                  clip: Optional[ClipTextEncoder] = None,
                  gen_shape: bool = True, return_meshes: bool = False,
                  use_scene_rels: bool = True, seed: int = 0,
-                 result_format: str = "json"):
+                 result_format: str = "json", dp_devices: int = 1):
         import jax
         if result_format not in ("json", "arrays"):
             raise ValueError(f"result_format must be json|arrays, got "
@@ -187,11 +187,36 @@ class GenerationService:
                 p, bs, b, k, gen_shape=gen_shape, shape_rows=rows,
                 with_manipulation=manip),
             static_argnames=("rows", "manip"))
+        # dp_devices > 1: sampling is embarrassingly parallel over scenes, so
+        # micro-batches from one generate() call spread over a ('data',) mesh
+        # — the serving analog of the evaluator's dp-group scoring
+        # (eval/evaluator.py) — and throughput scales ~linearly in chips.
+        self.dp_devices = int(dp_devices)
+        self._dp_sample: Dict[Any, Any] = {}
+        if self.dp_devices > 1:
+            from ..parallel.mesh import make_mesh
+            if len(jax.devices()) < self.dp_devices:
+                raise ValueError(
+                    f"dp_devices={self.dp_devices} but only "
+                    f"{len(jax.devices())} devices visible")
+            self._mesh = make_mesh((self.dp_devices,), ("data",),
+                                   jax.devices()[:self.dp_devices])
         # previous-response store for interactive manipulation requests
         # (sample_with_changes/_additions parity, model/EchoScene.py:422-532)
         from collections import OrderedDict
         self._store: "OrderedDict[str, Dict[str, Any]]" = OrderedDict()
         self._store_cap = 256
+
+    # ------------------------------------------------------------------
+    def _dp_sampler(self, manip: bool, shape_rows: int):
+        """Per-(manip, rows) compiled shard_map sampler over the data mesh."""
+        key = (manip, shape_rows)
+        if key not in self._dp_sample:
+            from ..parallel.dp import build_dp_sample
+            self._dp_sample[key] = build_dp_sample(
+                self.sg, self._mesh, gen_shape=self.gen_shape,
+                with_manipulation=manip, shape_rows=shape_rows)
+        return self._dp_sample[key]
 
     # ------------------------------------------------------------------
     def _scene_result(self, ex: SceneExample, out_slice) -> Dict[str, Any]:
@@ -327,6 +352,8 @@ class GenerationService:
                     f"{self.spec.max_nodes}/{self.spec.max_triples})")
         results: List[Optional[Dict[str, Any]]] = [None] * len(examples)
 
+        # pass 1: split the request stream into padded-bucket groups
+        groups: List[Any] = []          # (group_examples, their_indices, manip)
         idx = 0
         while idx < len(examples):
             group, gidx, nn, tt = [], [], 0, 0
@@ -346,28 +373,74 @@ class GenerationService:
                 nn += e.num_nodes
                 tt += len(e.triples)
                 idx += 1
-            from ..models.sgdiff import shape_row_capacity
-            batch = collate_scenes(group, self.spec)
-            self._key, sk = jax.random.split(self._key)
-            out = self._sample(self.state.params, self.state.batch_stats,
-                               batch, sk, shape_row_capacity(batch),
-                               manip_flag)
-            out_np = {k: np.asarray(v) for k, v in out.items()}
+            groups.append((group, gidx, manip_flag))
+
+        # pass 2: dispatch — one jitted call per group on a single chip, or
+        # dp_devices groups per shard_map call on the mesh
+        from ..models.sgdiff import shape_row_capacity
+        pending: List[Any] = []         # [(group, gidx, batch)] awaiting a mesh slot
+
+        def finish(e, i, sl):
+            res = self._scene_result(e, sl)
+            if manips[i]:
+                n_real = e.num_nodes - (1 if self.use_scene_rels else 0)
+                keep = (1.0 - e.change_flags[:n_real]).tolist()
+                res["keep"] = keep
+                res["manipulation"] = e.manipulation_type
+                if prevs[i] is not None:
+                    self._splice_previous(res, prevs[i], keep)
+            results[i] = res
+            self._remember(req_effective[i], res)
+
+        def scatter(group, gidx, out_np):
             off = 0
             for e, i in zip(group, gidx):
                 n = e.num_nodes
-                sl = {k: v[off:off + n] for k, v in out_np.items()}
-                res = self._scene_result(e, sl)
-                if manips[i]:
-                    n_real = n - (1 if self.use_scene_rels else 0)
-                    keep = (1.0 - e.change_flags[:n_real]).tolist()
-                    res["keep"] = keep
-                    res["manipulation"] = e.manipulation_type
-                    if prevs[i] is not None:
-                        self._splice_previous(res, prevs[i], keep)
-                results[i] = res
-                self._remember(req_effective[i], res)
+                finish(e, i, {k: v[off:off + n] for k, v in out_np.items()})
                 off += n
+
+        def flush_dp(manip_flag):
+            if not pending:
+                return
+            from ..parallel.mesh import stack_shards
+            shards = [b for _, _, b in pending]
+            # pad the shard list by repeating the last batch; the repeats'
+            # outputs are simply not read back
+            while len(shards) < self.dp_devices:
+                shards.append(shards[-1])
+            rows = max(shape_row_capacity(b) for b in shards)
+            stacked = stack_shards([jax.device_get(b) for b in shards])
+            keys = []
+            for _ in range(self.dp_devices):
+                self._key, sk = jax.random.split(self._key)
+                keys.append(sk)
+            out = self._dp_sampler(manip_flag, rows)(
+                self.state.params, self.state.batch_stats, stacked,
+                jax.numpy.stack(keys))
+            out_np = {k: np.asarray(v) for k, v in out.items()}
+            for d, (group, gidx, _) in enumerate(pending):
+                scatter(group, gidx, {k: v[d] for k, v in out_np.items()})
+            pending.clear()
+
+        prev_manip: Optional[bool] = None
+        for group, gidx, manip_flag in groups:
+            batch = collate_scenes(group, self.spec)
+            if self.dp_devices <= 1:
+                self._key, sk = jax.random.split(self._key)
+                out = self._sample(self.state.params, self.state.batch_stats,
+                                   batch, sk, shape_row_capacity(batch),
+                                   manip_flag)
+                scatter(group, gidx, {k: np.asarray(v) for k, v in out.items()})
+                continue
+            if prev_manip is not None and manip_flag != prev_manip:
+                flush_dp(prev_manip)    # a shard_map call is one static program
+            pending.append((group, gidx, batch))
+            prev_manip = manip_flag
+            if len(pending) == self.dp_devices:
+                flush_dp(manip_flag)
+                prev_manip = None
+        if pending:
+            flush_dp(prev_manip)
         # every request slot must have been filled exactly once — a batching
         # bug must fail loudly, never silently drop a scene
         missing = [i for i, r in enumerate(results) if r is None]
@@ -385,7 +458,8 @@ def service_from_experiment(exp: str, dataset: Optional[str] = None,
                             layout_steps: int = 0,
                             shape_sampler: Optional[str] = None,
                             shape_steps: int = 0,
-                            result_format: str = "json") -> GenerationService:
+                            result_format: str = "json",
+                            dp_devices: int = 1) -> GenerationService:
     """Rebuild the model from an experiment dir (args.json contract, same as
     eval.cli) and wrap it in a GenerationService."""
     import json
@@ -451,4 +525,5 @@ def service_from_experiment(exp: str, dataset: Optional[str] = None,
                              ds.rel_dict, clip=clip, gen_shape=gen_shape,
                              return_meshes=return_meshes,
                              use_scene_rels=margs["use_scene_rels"],
-                             result_format=result_format)
+                             result_format=result_format,
+                             dp_devices=dp_devices)

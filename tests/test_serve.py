@@ -240,3 +240,40 @@ def test_microbatcher_coalesces_and_isolates(service):
         mb.close()
     with pytest.raises(RuntimeError):
         mb.submit(_request(ds, 300))
+
+
+def test_dp_serving_two_devices(service):
+    """dp_devices=2: micro-batches from one generate() call spread over a
+    2-device ('data',) mesh; results align positionally and per-scene output
+    structure matches the single-chip path."""
+    svc, ds = service
+    assert len(jax.devices()) >= 2
+    dp_svc = GenerationService(svc.sg, svc.state, svc.spec, svc.stats,
+                               svc.classes, svc.rel_dict, clip=svc.clip,
+                               gen_shape=True, dp_devices=2)
+    # 5 requests of 4 nodes on a max_scenes=4 bucket -> 2 groups -> one
+    # 2-shard dp dispatch plus nothing left over
+    reqs = [_request(ds, 400 + i) for i in range(5)]
+    results = dp_svc.generate(reqs)
+    assert [r["id"] for r in results] == [f"q{400 + i}" for i in range(5)]
+    ref = svc.generate([_request(ds, 410)])[0]
+    for r in results:
+        assert len(r["sizes"]) == len(ref["sizes"])
+        assert np.isfinite(np.asarray(r["sizes"])).all()
+        assert np.isfinite(np.asarray(r["sdfs"])).all()
+
+    # manipulation flows through the dp path too (keep mask + splice)
+    follow = {"previous": results[0]["id"], "id": "q420",
+              "manipulation": {"type": "addition",
+                               "object": [n for n in ds.classes
+                                          if n != "_scene_"][0],
+                               "triples": [[-1, list(ds.rel_dict)[0], 0]]}}
+    out = dp_svc.generate([follow])[0]
+    n_base = len(results[0]["sizes"])
+    assert out["keep"][:n_base] == [1.0] * n_base
+    for j in range(n_base):
+        assert out["sizes"][j] == results[0]["sizes"][j]
+
+    with pytest.raises(ValueError):
+        GenerationService(svc.sg, svc.state, svc.spec, svc.stats, svc.classes,
+                          svc.rel_dict, dp_devices=512)
