@@ -17,14 +17,37 @@ import orbax.checkpoint as ocp
 from ..models.sgdiff import TrainState
 
 
-def save_checkpoint(path: str, state: TrainState) -> None:
+# one shared checkpointer so saves can run ASYNC with at most one in flight
+_CKPTR = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def save_checkpoint(path: str, state: TrainState, wait: bool = True) -> None:
+    """wait=False returns right after the host snapshot (jax.device_get) and
+    lets the Orbax write proceed in the background, so periodic epoch saves
+    stop blocking the train loop.  A subsequent save (or restore) first waits
+    for the in-flight one; the final/interrupt save must use wait=True."""
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr = _checkpointer()
     ckptr.wait_until_finished()
+    ckptr.save(path, jax.device_get(state), force=True)
+    if wait:
+        ckptr.wait_until_finished()
+
+
+def wait_for_checkpoints() -> None:
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    wait_for_checkpoints()          # the path may still be being written
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(template))

@@ -167,7 +167,8 @@ class Trainer:
 
     def train(self, state: TrainState, epochs: int,
               max_steps: Optional[int] = None,
-              preview_every: int = 0) -> TrainState:
+              preview_every: int = 0,
+              final_save: bool = True) -> TrainState:
         from .profiling import StepTimer
         state = self._maybe_zero1(state)
         counter = int(state.step)
@@ -233,8 +234,11 @@ class Trainer:
                 if h.interrupted or (max_steps and steps_done >= max_steps):
                     break
                 if epoch % self.ckpt_every_epochs == 0:
-                    self.save(state, epoch)
-            self.save(state, int(state.epoch))
+                    # async: training resumes while Orbax writes; the final
+                    # save below (and any restore) waits for it
+                    self.save(state, epoch, wait=False)
+            if final_save:
+                self.save(state, int(state.epoch))
         dt = time.time() - t_start
         if steps_done:
             print(f"[trainer] {steps_done} steps in {dt:.1f}s "
@@ -258,10 +262,10 @@ class Trainer:
                 state = init_zero1_state(state, self._get_mesh())
         return state
 
-    def save(self, state: TrainState, epoch: int):
+    def save(self, state: TrainState, epoch: int, wait: bool = True):
         path = os.path.join(self.exp_dir, "checkpoint", f"model{epoch}")
-        save_checkpoint(path, state)
-        print(f"saved model_{epoch}")
+        save_checkpoint(path, state, wait=wait)
+        print(f"saved model_{epoch}" + ("" if wait else " (async)"))
 
     def load(self, state: TrainState, epoch: int) -> TrainState:
         path = os.path.join(self.exp_dir, "checkpoint", f"model{epoch}")

@@ -69,6 +69,26 @@ def test_checkpoint_roundtrip(setup, tmp_path):
         assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_async_save_then_immediate_restore(setup, tmp_path):
+    """wait=False returns before the Orbax write completes; a restore of the
+    same path must first drain the in-flight save (checkpoint.py) — the
+    hermetic train->eval sequence depends on this ordering."""
+    _, _, sg, state = setup
+    path = str(tmp_path / "ckpt_async")
+    save_checkpoint(path, state, wait=False)
+    restored = restore_checkpoint(path, state)
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+    # a second async save to another path drains the first (one in flight)
+    save_checkpoint(str(tmp_path / "ckpt_async2"), state, wait=False)
+    from echoscene_tpu.train.checkpoint import wait_for_checkpoints
+    wait_for_checkpoints()
+    restored2 = restore_checkpoint(str(tmp_path / "ckpt_async2"), state)
+    assert int(restored2.step) == int(state.step)
+
+
 def test_vq_ckpt_graft_into_joint_state(setup, tmp_path):
     """scripts/train_vqvae.py checkpoint -> frozen VQ subtree of the joint
     model (the reference's load_vqvae contract, model_utils.py:7-32)."""
