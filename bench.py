@@ -51,14 +51,15 @@ def main():
 
     batch_scenes = 8
     # tight node capacity: padded rows cost full denoiser FLOPs in the chains
-    # compute_dtype bfloat16 = the VALIDATED training configuration (r4 A/B:
-    # 44.58 vs 38.60 scenes/sec/chip, convergence within f32 noise).  The
-    # sampling path is unaffected: it runs on the inference twin, which is
-    # built with sample_dtype (bf16) structure either way.
+    # compute_dtype follows the CONFIG DEFAULT (bfloat16 since r5 — the r4
+    # A/B-validated configuration: 44.58 vs 38.60 scenes/sec/chip,
+    # convergence within f32 noise), so the bench regression-guards exactly
+    # what `train.cli` runs out of the box.  The sampling path is unaffected:
+    # it runs on the inference twin, built with sample_dtype (bf16) structure
+    # either way.
     sg, state, batch = build_flagship(max_nodes=48, max_triples=112,
                                       diffusion_bs=8,
-                                      batch_scenes=batch_scenes,
-                                      compute_dtype="bfloat16")
+                                      batch_scenes=batch_scenes)
     scenes_per_sec, sample_flops = time_generation(
         sg, state, batch, batch_scenes, return_flops=True)
     # train step second: time_train_step donates/consumes the state buffers

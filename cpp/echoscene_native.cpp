@@ -241,6 +241,13 @@ static int do_tet(WeldCtx& W, float level, const float p[4][3], const float v[4]
 int marching_cubes(const float* grid, int res, float level,
                    float* verts_out, int max_verts,
                    int32_t* tris_out, int max_tris, int32_t* nv_out) {
+    // weld keys pack two lattice ids as (ia << 32) | ib; ids reach res^3 - 1,
+    // so res^3 must fit 32 bits or unrelated edges silently collide.
+    // res <= 1625; real grids are 64-256.  Signal the caller with -1.
+    if ((uint64_t)res * res * res >= (1ull << 32)) {
+        *nv_out = 0;
+        return -1;
+    }
     int nt = 0;
     const int r = res, r2 = res * res;
     auto G = [&](int x, int y, int z) -> float {

@@ -36,7 +36,12 @@ FAKE_RELATIONSHIPS = [
 def make_fake_dataset(root: str, room_type: str = "bedroom",
                       num_scenes: int = 6, min_objs: int = 3,
                       max_objs: int = 6, sdf_res: int = 64,
-                      with_sdf: bool = True, seed: int = 0) -> str:
+                      with_sdf: bool = True, seed: int = 0,
+                      unique_models: bool = False) -> str:
+    """unique_models=True gives every object instance its OWN SDF h5 file
+    (real SG-FRONT shape: thousands of scans, ~1 MB per object, no
+    cross-scene file sharing) — the at-scale IO-pipeline configuration.
+    Default False shares ~3 models per class, keeping test fixtures tiny."""
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -66,7 +71,8 @@ def make_fake_dataset(root: str, room_type: str = "bedroom",
             size = rng.uniform(0.2, 2.0, 3)
             loc = rng.uniform(-2.0, 2.0, 3)
             angle = rng.uniform(-np.pi, np.pi)
-            model_id = f"model_{labels[i]}_{int(rng.integers(3))}"
+            model_id = (f"model_{sid}_{i}_{labels[i]}" if unique_models
+                        else f"model_{labels[i]}_{int(rng.integers(3))}")
             model_path = f"/data/3D-FUTURE-model/{model_id}/raw.obj"
             if labels[i] == "floor":
                 model_path = None

@@ -25,7 +25,7 @@ def evaluate(args):
     from ..data.sgfront import SGFrontDataset
     from ..models.config import load_config
     from ..models.sgdiff import SGDiff
-    from ..train.checkpoint import restore_checkpoint
+    from ..train.checkpoint import restore_for_inference
 
     with open(os.path.join(args.exp, "args.json")) as f:
         margs = json.load(f)
@@ -75,7 +75,9 @@ def evaluate(args):
     batch0 = collate_scenes([ex0], spec)
     state = sg.init(jax.random.PRNGKey(0), batch0)
     if args.epoch >= 0:
-        state = restore_checkpoint(
+        # params-only restore: works for checkpoints from any optimizer
+        # configuration (replicated optax, --zero1, any dp_devices count)
+        state = restore_for_inference(
             os.path.join(args.exp, "checkpoint", f"model{args.epoch}"), state)
 
     mesh_db = None

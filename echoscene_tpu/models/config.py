@@ -150,7 +150,16 @@ class EchoSceneConfig:
                                            # within one chip's HBM: e.g.
                                            # batchSize 16 x grad_accum 4)
     # precision
-    compute_dtype: str = "float32"         # training compute: 'float32' | 'bfloat16'
+    compute_dtype: str = "bfloat16"        # training compute: 'bfloat16' |
+                                           # 'float32'.  bf16 mixed precision
+                                           # (f32 master params/AdamW state,
+                                           # bf16 module compute) is the
+                                           # DEFAULT: +15.5% train throughput,
+                                           # convergence within f32 noise on
+                                           # the r4 A/B (BASELINE.md).  This
+                                           # single default is what bench.py
+                                           # regression-guards; --compute_dtype
+                                           # float32 is the escape hatch.
     sample_dtype: str = "bfloat16"         # sampling compute (denoiser+decoder):
                                            # 'float32' | 'bfloat16' | 'int8'
                                            # (int8 = experimental W8A8 shape-UNet
@@ -260,6 +269,9 @@ def tiny_config(network_type: str = "echoscene") -> EchoSceneConfig:
         embedding_dim=8,
         gconv_num_layers=2,
         diffusion_bs=12,
+        # tests pin f32: parity/equivalence tolerances are f32-calibrated
+        # (production default is bfloat16 mixed precision)
+        compute_dtype="float32",
         max_nodes=24, max_triples=64, batch_scenes=3,
         layout_denoiser=LayoutDenoiserConfig(
             model_channels=16, channel_mult=(1, 1), num_res_blocks=1,

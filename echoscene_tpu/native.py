@@ -105,7 +105,8 @@ def marching_cubes(grid: np.ndarray, level: float = 0.0,
     res = grid.shape[0]
     lib = _load()
     if lib is None:
-        return _marching_tetrahedra_numpy(grid, level)
+        verts, tris = _marching_tetrahedra_numpy(grid, level)
+        return verts, tris[:max_tris]
     # welded count is ~nt/2 in practice; nt*3 stays the hard upper bound
     verts = np.zeros((max_tris * 3, 3), np.float32)
     tris = np.zeros((max_tris, 3), np.int32)
@@ -113,6 +114,9 @@ def marching_cubes(grid: np.ndarray, level: float = 0.0,
     nt = lib.marching_cubes(_fp(grid), res, ctypes.c_float(level),
                             _fp(verts), max_tris * 3, _ip(tris), max_tris,
                             _ip(nv))
+    if nt < 0:
+        raise ValueError(f"grid res {res} exceeds the 32-bit lattice-id "
+                         "weld-key space (res <= 1625)")
     return verts[:int(nv[0])].copy(), tris[:nt].copy()
 
 
@@ -192,7 +196,96 @@ def _sample_mesh_numpy(verts, tris, n_samples, seed):
             + v[:, None] * (v2[idx] - v0[idx])).astype(np.float32)
 
 
-def _marching_tetrahedra_numpy(grid, level):  # pragma: no cover - slow path
-    raise RuntimeError(
-        "native library unavailable and no numpy marching cubes fallback; "
-        "build cpp/ (make -C cpp)")
+# 6 tetrahedra sharing the 0-6 cube diagonal + their edge enumeration — MUST
+# mirror cpp/echoscene_native.cpp (TETS, E, quad split) so both paths emit
+# the same welded 2-manifold meshes.
+_MT_CX = (0, 1, 1, 0, 0, 1, 1, 0)
+_MT_CY = (0, 0, 1, 1, 0, 0, 1, 1)
+_MT_CZ = (0, 0, 0, 0, 1, 1, 1, 1)
+_MT_TETS = ((0, 5, 1, 6), (0, 1, 2, 6), (0, 2, 3, 6),
+            (0, 3, 7, 6), (0, 7, 4, 6), (0, 4, 5, 6))
+_MT_E = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
+def _mt_case_tables():
+    """Per-inside-mask crossing-edge lists (in _MT_E order) + triangle fans.
+    np==3 -> one triangle (0,1,2); np==4 -> the C++ quad split (0,1,2),(1,3,2)."""
+    edges, tris = {}, {}
+    for case in range(1, 15):
+        cross = [(a, b) for a, b in _MT_E
+                 if ((case >> a) & 1) != ((case >> b) & 1)]
+        edges[case] = cross
+        tris[case] = [(0, 1, 2)] if len(cross) == 3 else [(0, 1, 2), (1, 3, 2)]
+    return edges, tris
+
+
+_MT_CASE_EDGES, _MT_CASE_TRIS = _mt_case_tables()
+
+
+def _marching_tetrahedra_numpy(grid, level):
+    """Pure-NumPy marching tetrahedra with the SAME edge-keyed vertex welding
+    as the C++ path: every vertex lies on a lattice edge whose canonical
+    (smaller-id-first) interpolation is bit-identical across the tets that
+    share it, so np.unique over the packed edge keys welds exactly."""
+    res = grid.shape[0]
+    if res ** 3 >= 1 << 32:
+        raise ValueError(f"grid res {res} exceeds the 32-bit lattice-id "
+                         "weld-key space (res <= 1625)")
+    grid = np.asarray(grid, np.float32)
+    m = res - 1
+    # corner value views + lattice ids, each (m, m, m) flattened
+    vals, gids = [], []
+    ar = np.arange(m, dtype=np.int64)
+    for c in range(8):
+        cx, cy, cz = _MT_CX[c], _MT_CY[c], _MT_CZ[c]
+        vals.append(grid[cx:cx + m, cy:cy + m, cz:cz + m].reshape(-1))
+        gid = ((ar[:, None, None] + cx) * res * res
+               + (ar[None, :, None] + cy) * res
+               + (ar[None, None, :] + cz)).reshape(-1)
+        gids.append(gid)
+
+    all_keys, all_pos, all_tris = [], [], []
+    n_emitted = 0
+    for tet in _MT_TETS:
+        tv = [vals[c] for c in tet]
+        tg = [gids[c] for c in tet]
+        case = sum(((tv[k] < level).astype(np.int32) << k) for k in range(4))
+        for cs in range(1, 15):
+            sel = np.nonzero(case == cs)[0]
+            if sel.size == 0:
+                continue
+            base = n_emitted
+            for a, b in _MT_CASE_EDGES[cs]:
+                ia, ib = tg[a][sel], tg[b][sel]
+                va, vb = tv[a][sel], tv[b][sel]
+                swap = ia > ib
+                i0 = np.where(swap, ib, ia)
+                i1 = np.where(swap, ia, ib)
+                v0 = np.where(swap, vb, va)
+                v1 = np.where(swap, va, vb)
+                dv = v1 - v0
+                ok = np.abs(dv) > 1e-12
+                mu = np.where(ok, (np.float32(level) - v0)
+                              / np.where(ok, dv, 1.0), 0.5)
+                mu = np.clip(mu, 0.0, 1.0).astype(np.float32)
+                p0 = np.stack([i0 // (res * res), (i0 // res) % res,
+                               i0 % res], -1).astype(np.float32)
+                p1 = np.stack([i1 // (res * res), (i1 // res) % res,
+                               i1 % res], -1).astype(np.float32)
+                all_keys.append((i0.astype(np.uint64) << np.uint64(32))
+                                | i1.astype(np.uint64))
+                all_pos.append(p0 + mu[:, None] * (p1 - p0))
+                n_emitted += sel.size
+            for t0, t1, t2 in _MT_CASE_TRIS[cs]:
+                all_tris.append(np.stack(
+                    [base + t0 * sel.size + np.arange(sel.size),
+                     base + t1 * sel.size + np.arange(sel.size),
+                     base + t2 * sel.size + np.arange(sel.size)], -1))
+    if not all_tris:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    keys = np.concatenate(all_keys)
+    pos = np.concatenate(all_pos).astype(np.float32)
+    tris = np.concatenate(all_tris)
+    uniq, first, inverse = np.unique(keys, return_index=True,
+                                     return_inverse=True)
+    return pos[first], inverse[tris].astype(np.int32)

@@ -29,10 +29,20 @@ exactly (verified by `tests/test_zero1.py` equivalence tests):
   * the frozen VQ-VAE subtree receives no update and no decayed weights
     (multi_transform 'frozen' label → set_to_zero).
 
+Gradient accumulation composes with the sharded moments (the 16 GB-chip
+real-data configuration: effective batch 64 via `--grad_accum` PLUS sharded
+AdamW state): each microbatch's flat gradient is reduce-scattered immediately
+and accumulated in the SHARDED `acc` buffer (psum_scatter is linear, so
+scattering each microbatch and summing shards equals scattering the sum) —
+the accumulator costs P/N floats per device, never a full flat grad.  The
+optimizer update fires every `grad_accum` calls on the accumulated MEAN,
+matching optax.MultiSteps semantics on the replicated path
+(tests/test_zero1.py::test_zero1_grad_accum_matches_dp_multisteps).
+
 Scope: composes with plain dp ('data' axis, params replicated).  Not wired
 for dp×tp zero (tp params are channel-sharded, which would interleave with
-the flat partition) and `grad_accum` stays on the replicated path —
-`build_zero1_train_step` raises on both.
+the flat partition) — `build_zero1_train_step` raises on a mesh with a
+'model' axis > 1.
 """
 from __future__ import annotations
 
@@ -56,10 +66,18 @@ _CLIP_NORM = 5.0
 
 class Zero1State(struct.PyTreeNode):
     """Flat sharded AdamW state: `mu`/`nu` are (P_pad,) f32 arrays carried
-    with NamedSharding P('data') — each device holds one 1/N slice."""
+    with NamedSharding P('data') — each device holds one 1/N slice.
+
+    `acc`/`mini_step` implement flat-space gradient accumulation (MultiSteps
+    semantics): `acc` holds the sharded SUM of the microbatch grad shards
+    (shrunk to one element per device when grad_accum == 1 — Orbax cannot
+    save zero-size arrays), `mini_step` counts microbatches within the
+    current optimizer step."""
     count: jnp.ndarray   # int32 scalar, replicated (optax count semantics)
     mu: jnp.ndarray
     nu: jnp.ndarray
+    acc: jnp.ndarray
+    mini_step: jnp.ndarray
 
 
 def _flat_masks(params) -> Tuple[np.ndarray, np.ndarray, int]:
@@ -81,16 +99,27 @@ def _flat_masks(params) -> Tuple[np.ndarray, np.ndarray, int]:
     return train, clip, int(train.size)
 
 
-def init_zero1_state(state: TrainState, mesh: Mesh,
-                     axis: str = "data") -> TrainState:
-    """Replace `state.opt_state` with a fresh sharded Zero1State (zeros)."""
+def init_zero1_state(state: TrainState, mesh: Mesh, axis: str = "data",
+                     grad_accum: int = 1) -> TrainState:
+    """Replace `state.opt_state` with a fresh sharded Zero1State (zeros).
+
+    With grad_accum > 1 the state carries a sharded accumulator of the same
+    padded length as the moments; with grad_accum == 1 it is empty so the
+    common case pays no extra HBM."""
     _, _, n = _flat_masks(state.params)
     n_dev = mesh.shape[axis]
     n_pad = -(-n // n_dev) * n_dev
     sharding = NamedSharding(mesh, P(axis))
     zeros = jax.jit(lambda: jnp.zeros((n_pad,), jnp.float32),
                     out_shardings=sharding)
-    opt = Zero1State(count=jnp.zeros((), jnp.int32), mu=zeros(), nu=zeros())
+    # idle accumulator is n_dev elements (1/device): zero-size arrays can't
+    # ride through Orbax saves, and a full n_pad buffer would waste P/N
+    # floats per device in the common accum==1 case
+    acc_len = n_pad if int(grad_accum) > 1 else n_dev
+    acc = jax.jit(lambda: jnp.zeros((acc_len,), jnp.float32),
+                  out_shardings=sharding)()
+    opt = Zero1State(count=jnp.zeros((), jnp.int32), mu=zeros(), nu=zeros(),
+                     acc=acc, mini_step=jnp.zeros((), jnp.int32))
     return state.replace(opt_state=opt)
 
 
@@ -134,9 +163,11 @@ def build_zero1_train_step(sgdiff: SGDiff, mesh: Mesh, axis: str = "data",
     and batch_stats stay replicated exactly as in the dp step, and the
     stacked batch/rngs contract is identical to build_dp_train_step.
     """
-    if int(getattr(sgdiff.cfg, "grad_accum", 1) or 1) > 1:
-        raise ValueError("zero1 path does not implement grad_accum; use "
-                         "build_dp_train_step (MultiSteps) instead")
+    if mesh.shape.get("model", 1) > 1:
+        raise ValueError("zero1 path does not compose with tensor "
+                         "parallelism (channel-sharded params interleave "
+                         "with the flat partition); use build_dp_train_step")
+    accum = int(getattr(sgdiff.cfg, "grad_accum", 1) or 1)
     lr_fn = lr_schedule(sgdiff.cfg)
     n_dev = mesh.shape[axis]
 
@@ -144,6 +175,11 @@ def build_zero1_train_step(sgdiff: SGDiff, mesh: Mesh, axis: str = "data",
         if not isinstance(state.opt_state, Zero1State):
             raise ValueError("state.opt_state is not a Zero1State; call "
                              "init_zero1_state(state, mesh) first")
+        if accum > 1 and int(state.opt_state.acc.size) < n_dev * 2:
+            raise ValueError(
+                "grad_accum > 1 but the Zero1State has only an idle "
+                "accumulator; call init_zero1_state(state, mesh, "
+                "grad_accum=accum)")
         train_mask, clip_mask, n = _flat_masks(state.params)
         n_pad = -(-n // n_dev) * n_dev
         pad = n_pad - n
@@ -173,21 +209,42 @@ def build_zero1_train_step(sgdiff: SGDiff, mesh: Mesh, axis: str = "data",
             p_shard = jax.lax.dynamic_slice(flat_p, (idx * chunk,), (chunk,))
 
             opt = state.opt_state
-            new_p_shard, mu, nu, t = zero1_update_shard(
-                g_shard, p_shard, opt.mu, opt.nu, opt.count,
-                tmask, cmask, lr_fn, axis)
+            if accum == 1:
+                new_p_shard, mu, nu, t = zero1_update_shard(
+                    g_shard, p_shard, opt.mu, opt.nu, opt.count,
+                    tmask, cmask, lr_fn, axis)
+                new_opt = Zero1State(count=t, mu=mu, nu=nu, acc=opt.acc,
+                                     mini_step=opt.mini_step)
+            else:
+                # MultiSteps semantics on the sharded slice: accumulate the
+                # reduce-scattered microbatch grads, update on the MEAN every
+                # `accum` calls.  The update is computed unconditionally and
+                # selected — its elementwise cost is negligible vs fwd+bwd.
+                g_sum = opt.acc + g_shard
+                is_final = (opt.mini_step + 1) >= accum
+                upd_p, mu, nu, t = zero1_update_shard(
+                    g_sum / accum, p_shard, opt.mu, opt.nu, opt.count,
+                    tmask, cmask, lr_fn, axis)
+                sel = lambda a, b: jnp.where(is_final, a, b)
+                new_p_shard = sel(upd_p, p_shard)
+                new_opt = Zero1State(
+                    count=sel(t, opt.count), mu=sel(mu, opt.mu),
+                    nu=sel(nu, opt.nu), acc=sel(jnp.zeros_like(g_sum), g_sum),
+                    mini_step=sel(jnp.zeros((), jnp.int32),
+                                  opt.mini_step + 1))
 
             new_flat = jax.lax.all_gather(new_p_shard, axis, axis=0,
                                           tiled=True)
             new_params = unravel(new_flat[:n])
             new_state = state.replace(
                 step=state.step + 1, params=new_params, batch_stats=new_bs,
-                opt_state=Zero1State(count=t, mu=mu, nu=nu))
+                opt_state=new_opt)
             return new_state, metrics
 
         state_spec = TrainState(
             step=P(), params=P(), batch_stats=P(),
-            opt_state=Zero1State(count=P(), mu=P(axis), nu=P(axis)),
+            opt_state=Zero1State(count=P(), mu=P(axis), nu=P(axis),
+                                 acc=P(axis), mini_step=P()),
             epoch=P())
         mapped = jax.shard_map(
             local_step, mesh=mesh,

@@ -47,6 +47,10 @@ class MicroBatcher:
             raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
         self._q.put((request, fut))
+        # close() may have raced between the check and the put; if the worker
+        # is already gone, nothing will ever serve this future — fail it now
+        if self._closed and not self._worker.is_alive():
+            self._drain("MicroBatcher closed")
         return fut
 
     def generate(self, requests: Sequence[Dict[str, Any]],
@@ -67,6 +71,19 @@ class MicroBatcher:
         self._closed = True
         self._q.put(None)               # wake the worker
         self._worker.join(timeout=timeout)
+        self._drain("MicroBatcher closed")
+
+    def _drain(self, reason: str) -> None:
+        """Fail every queued future — requests enqueued after the close
+        sentinel (or left behind by a dead worker) must never hang a client
+        blocked on Future.result()."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError(reason))
 
     # ------------------------------------------------------------------
     def _take_batch(self):
@@ -92,6 +109,16 @@ class MicroBatcher:
         return batch
 
     def _run(self) -> None:
+        try:
+            self._run_loop()
+        finally:
+            # worker exiting for ANY reason (close sentinel or an unexpected
+            # crash outside the per-batch handler): refuse new work and fail
+            # whatever is still queued instead of stranding the futures
+            self._closed = True
+            self._drain("MicroBatcher worker exited")
+
+    def _run_loop(self) -> None:
         while True:
             batch = self._take_batch()
             if batch is None:

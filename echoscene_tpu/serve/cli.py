@@ -71,7 +71,11 @@ def run_http(service, host: str, port: int, batch_window_ms: float = 0.0):
                 if isinstance(payload, dict):
                     payload = [payload]
                 if batcher is not None:
-                    results = batcher.generate(payload)
+                    # bounded wait: a cold compile through the tunnel can take
+                    # minutes (warm it with service.warmup), but an unbounded
+                    # Future.result would hang this client thread forever if
+                    # the batcher worker ever died
+                    results = batcher.generate(payload, timeout=1800.0)
                 else:
                     with lock:
                         results = service.generate(payload)
@@ -131,6 +135,13 @@ def build_parser():
                    help="coalesce concurrent requests into shared sampler "
                         "dispatches, waiting up to this long for companions "
                         "(serve/batcher.py); 0 = serve one POST at a time")
+    p.add_argument("--row_buckets", default="16,32,48",
+                   help="comma-separated shape-row ladder pinning the "
+                        "compiled sampler variants (empty = every "
+                        "multiple-of-4 row count, more variants)")
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip pre-compiling the sampler ladder at start "
+                        "(first requests will then pay cold compiles)")
     return p
 
 
@@ -143,7 +154,14 @@ def main(argv=None):
         max_scenes=args.max_scenes, sample_dtype=args.sample_dtype,
         layout_sampler=args.layout_sampler, layout_steps=args.layout_steps,
         shape_sampler=args.shape_sampler, shape_steps=args.shape_steps,
-        dp_devices=args.dp_devices)
+        dp_devices=args.dp_devices,
+        row_buckets=[int(r) for r in args.row_buckets.split(",") if r]
+        if args.row_buckets else None)
+    if args.port and not args.no_warmup:
+        # online serving must never compile inside a request: pre-compile the
+        # whole (rows, manip) ladder before accepting connections
+        n = service.warmup()
+        print(f"[serve] warmed {n} sampler variants")
     if args.port:
         run_http(service, args.host, args.port,
                  batch_window_ms=args.batch_window_ms)

@@ -160,7 +160,8 @@ class GenerationService:
                  clip: Optional[ClipTextEncoder] = None,
                  gen_shape: bool = True, return_meshes: bool = False,
                  use_scene_rels: bool = True, seed: int = 0,
-                 result_format: str = "json", dp_devices: int = 1):
+                 result_format: str = "json", dp_devices: int = 1,
+                 row_buckets: Optional[Sequence[int]] = None):
         import jax
         if result_format not in ("json", "arrays"):
             raise ValueError(f"result_format must be json|arrays, got "
@@ -182,11 +183,22 @@ class GenerationService:
         self.result_format = result_format
         self.use_scene_rels = use_scene_rels
         self._key = jax.random.PRNGKey(seed)
-        self._sample = jax.jit(
+        # compile-variant control: the jitted sampler is keyed on
+        # (rows, manip); an unseen row count means a multi-minute cold
+        # compile INSIDE a request (BASELINE.md: 15-20 min for the flagship
+        # programs through the tunnel).  `row_buckets` pins rows to a coarse
+        # ladder (e.g. (16, 32, 48)) and `warmup()` AOT-compiles the whole
+        # ladder at service start, so no online request ever compiles.
+        self.row_buckets = tuple(sorted(int(r) for r in row_buckets)) \
+            if row_buckets else None
+        if self.row_buckets and self.row_buckets[-1] < spec.max_nodes:
+            self.row_buckets = self.row_buckets + (spec.max_nodes,)
+        self._jit_sample = jax.jit(
             lambda p, bs, b, k, rows, manip: sg.sample_fn(
                 p, bs, b, k, gen_shape=gen_shape, shape_rows=rows,
                 with_manipulation=manip),
             static_argnames=("rows", "manip"))
+        self._compiled: Dict[Any, Any] = {}   # (rows, manip) -> AOT Compiled
         # dp_devices > 1: sampling is embarrassingly parallel over scenes, so
         # micro-batches from one generate() call spread over a ('data',) mesh
         # — the serving analog of the evaluator's dp-group scoring
@@ -206,6 +218,87 @@ class GenerationService:
         from collections import OrderedDict
         self._store: "OrderedDict[str, Dict[str, Any]]" = OrderedDict()
         self._store_cap = 256
+
+    # ------------------------------------------------------------------
+    def _rows(self, batch) -> int:
+        """Static shape-chain row count for a batch, bucket-pinned when
+        row_buckets is set (bounds the compiled-variant count)."""
+        from ..models.sgdiff import shape_row_capacity
+        rows = shape_row_capacity(batch)
+        if self.row_buckets:
+            for b in self.row_buckets:
+                if b >= rows:
+                    return min(b, self.spec.max_nodes)
+            return self.spec.max_nodes
+        return rows
+
+    def _dummy_batch(self):
+        """A minimal collated batch — same padded abstract signature as any
+        real one (shapes are static per CollateSpec), used only to lower."""
+        from ..data.collate import collate_scenes
+        name = next(iter(self.classes))
+        ex = request_to_example({"objects": [name]}, self.classes,
+                                self.rel_dict, self.clip,
+                                use_scene_rels=self.use_scene_rels)
+        return collate_scenes([ex], self.spec)
+
+    def _sampler(self, rows: int, manip: bool):
+        """AOT-compiled sampler for one (rows, manip) variant; compiled once
+        (at warmup or on first use) and dispatched directly thereafter."""
+        key = (rows, manip)
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = self._jit_sample.lower(
+                self.state.params, self.state.batch_stats,
+                self._dummy_batch(), self._key, rows, manip).compile()
+            self._compiled[key] = fn
+        return fn
+
+    def compiled_variants(self):
+        """The (rows, manip) variants compiled so far (test/observability)."""
+        return sorted(self._compiled) + sorted(self._dp_sample)
+
+    def warmup(self, manips=(False, True), verbose: bool = True) -> int:
+        """Pre-compile the full (rows, manip) sampler ladder so no online
+        request ever blocks on a cold compile (VERDICT r4 weak #4).
+
+        Compiles only (jit AOT lower().compile() — nothing executes); with
+        row_buckets set the ladder is the bucket list, otherwise every
+        multiple-of-4 row count up to max_nodes.  Returns the number of
+        variants compiled."""
+        import time
+        ladder = list(self.row_buckets) if self.row_buckets else \
+            list(range(4, self.spec.max_nodes + 1, 4))
+        if self.spec.max_nodes not in ladder:
+            ladder.append(self.spec.max_nodes)
+        done = 0
+        for manip in manips:
+            for rows in ladder:
+                t0 = time.time()
+                fresh = (rows, manip) not in self._compiled
+                if self.dp_devices > 1:
+                    self._warm_dp(manip, rows)
+                else:
+                    self._sampler(rows, manip)
+                done += 1
+                if verbose and fresh:
+                    print(f"[serve] warmup ({rows} rows, manip={manip}): "
+                          f"{time.time() - t0:.1f}s")
+        return done
+
+    def _warm_dp(self, manip: bool, rows: int) -> None:
+        """AOT-compile one dp shard_map sampler variant."""
+        import jax
+        from ..parallel.mesh import stack_shards
+        fn = self._dp_sampler(manip, rows)
+        if not hasattr(fn, "lower"):
+            return                      # not a jitted callable; nothing to warm
+        dummy = jax.device_get(self._dummy_batch())
+        stacked = stack_shards([dummy] * self.dp_devices)
+        keys = jax.numpy.stack([self._key] * self.dp_devices)
+        compiled = fn.lower(self.state.params, self.state.batch_stats,
+                            stacked, keys).compile()
+        self._dp_sample[(manip, rows)] = compiled
 
     # ------------------------------------------------------------------
     def _dp_sampler(self, manip: bool, shape_rows: int):
@@ -377,7 +470,6 @@ class GenerationService:
 
         # pass 2: dispatch — one jitted call per group on a single chip, or
         # dp_devices groups per shard_map call on the mesh
-        from ..models.sgdiff import shape_row_capacity
         pending: List[Any] = []         # [(group, gidx, batch)] awaiting a mesh slot
 
         def finish(e, i, sl):
@@ -408,7 +500,7 @@ class GenerationService:
             # outputs are simply not read back
             while len(shards) < self.dp_devices:
                 shards.append(shards[-1])
-            rows = max(shape_row_capacity(b) for b in shards)
+            rows = max(self._rows(b) for b in shards)
             stacked = stack_shards([jax.device_get(b) for b in shards])
             keys = []
             for _ in range(self.dp_devices):
@@ -427,9 +519,8 @@ class GenerationService:
             batch = collate_scenes(group, self.spec)
             if self.dp_devices <= 1:
                 self._key, sk = jax.random.split(self._key)
-                out = self._sample(self.state.params, self.state.batch_stats,
-                                   batch, sk, shape_row_capacity(batch),
-                                   manip_flag)
+                out = self._sampler(self._rows(batch), manip_flag)(
+                    self.state.params, self.state.batch_stats, batch, sk)
                 scatter(group, gidx, {k: np.asarray(v) for k, v in out.items()})
                 continue
             if prev_manip is not None and manip_flag != prev_manip:
@@ -459,7 +550,8 @@ def service_from_experiment(exp: str, dataset: Optional[str] = None,
                             shape_sampler: Optional[str] = None,
                             shape_steps: int = 0,
                             result_format: str = "json",
-                            dp_devices: int = 1) -> GenerationService:
+                            dp_devices: int = 1,
+                            row_buckets=None) -> GenerationService:
     """Rebuild the model from an experiment dir (args.json contract, same as
     eval.cli) and wrap it in a GenerationService."""
     import json
@@ -471,7 +563,7 @@ def service_from_experiment(exp: str, dataset: Optional[str] = None,
     from ..data.sgfront import SGFrontDataset
     from ..models.config import load_config
     from ..models.sgdiff import SGDiff
-    from ..train.checkpoint import latest_epoch, restore_checkpoint
+    from ..train.checkpoint import latest_epoch, restore_for_inference
 
     with open(os.path.join(exp, "args.json")) as f:
         margs = json.load(f)
@@ -516,7 +608,8 @@ def service_from_experiment(exp: str, dataset: Optional[str] = None,
                 "refusing to serve uninitialized params (pass --epoch -1 to "
                 "override for smoke testing)")
     if epoch >= 0:
-        state = restore_checkpoint(
+        # params-only: serving must load checkpoints from --zero1 runs too
+        state = restore_for_inference(
             os.path.join(exp, "checkpoint", f"model{epoch}"), state)
     else:
         print("[serve] WARNING: --epoch -1 — serving UNRESTORED random "
@@ -526,4 +619,4 @@ def service_from_experiment(exp: str, dataset: Optional[str] = None,
                              return_meshes=return_meshes,
                              use_scene_rels=margs["use_scene_rels"],
                              result_format=result_format,
-                             dp_devices=dp_devices)
+                             dp_devices=dp_devices, row_buckets=row_buckets)

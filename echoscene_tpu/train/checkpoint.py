@@ -51,7 +51,38 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(template))
-    return ckptr.restore(path, abstract)
+    restored = ckptr.restore(path, abstract)
+    # Re-apply the template's shardings: Orbax restores default-device arrays,
+    # but a zero1 template carries P('data')-sharded mu/nu the train step
+    # expects — resuming without this would silently re-lay-out every step.
+    def _put(r, t):
+        if isinstance(t, jax.Array) and not t.sharding.is_fully_replicated:
+            return jax.device_put(r, t.sharding)
+        return r
+    return jax.tree.map(_put, restored, template)
+
+
+def restore_for_inference(path: str, template: TrainState) -> TrainState:
+    """Restore params/batch_stats/step/epoch ONLY; opt_state keeps the
+    template's value.
+
+    Eval and serving never read optimizer state, and a checkpoint written by
+    a `--zero1` run stores a sharded `Zero1State` whose tree structure does
+    not match the replicated optax template (and whose padded mu/nu length
+    depends on the dp_devices count it trained with) — a full-tree
+    StandardCheckpointer restore would fail.  Restoring the model subtrees by
+    name makes inference restores independent of how the run was optimized.
+    """
+    wait_for_checkpoints()
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    host = jax.device_get(template)
+    abstract = {k: jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                getattr(host, k))
+                for k in ("params", "batch_stats", "step", "epoch")}
+    restored = ckptr.restore(
+        path, args=ocp.args.PyTreeRestore(abstract, partial_restore=True))
+    return template.replace(**restored)
 
 
 def load_vqvae_params(path: str, template_params: Any) -> Any:

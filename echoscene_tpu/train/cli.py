@@ -70,8 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(scripts/fetch_weights.py) if present, else hash "
                         "proxy; the RESOLVED backend is recorded in "
                         "args.json so eval matches training features")
-    p.add_argument("--compute_dtype", default="float32",
-                   choices=["float32", "bfloat16"])
+    p.add_argument("--compute_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="training compute precision; defaults to the config "
+                        "default (bfloat16 — the validated, benched "
+                        "configuration; float32 is the escape hatch)")
     p.add_argument("--max_steps", type=int, default=0,
                    help="stop after N optimizer steps (0 = unlimited)")
     p.add_argument("--latent_cache", default=None,
@@ -138,7 +141,8 @@ def main(argv=None):
     if args.diffusion_bs:
         cfg.diffusion_bs = args.diffusion_bs
     cfg.grad_accum = max(1, args.grad_accum)
-    cfg.compute_dtype = args.compute_dtype
+    if args.compute_dtype:                 # None = keep the config default
+        cfg.compute_dtype = args.compute_dtype
     cfg.layout_diffusion.train_stats_file = dataset.box_stats_path
     cfg.layout_denoiser.using_clip = args.with_CLIP
     max_nodes = args.max_nodes or int(args.batchSize * 16)

@@ -115,8 +115,14 @@ class Trainer:
         self.latent_lookup = latent_lookup
         self.dp_devices = dp_devices
         self.zero1 = zero1
+        if zero1 and dp_devices <= 1:
+            raise ValueError(
+                "--zero1 requires dp_devices > 1 (optimizer-state sharding "
+                "over the 'data' axis has nothing to shard on one device); "
+                "drop --zero1 or raise --dp_devices")
         self._dp_step = None
         self._mesh = None
+        self._dropped_batches = 0
         os.makedirs(os.path.join(exp_dir, "checkpoint"), exist_ok=True)
         self.writer = writer
         self.loss_log = open(os.path.join(exp_dir, "loss_log.txt"), "a")
@@ -187,12 +193,16 @@ class Trainer:
                 from ..parallel.dp import build_dp_train_step
                 self._dp_step = build_dp_train_step(
                     self.sgdiff, mesh, donate=True)(state)
+        # shard_buf persists ACROSS epochs: with dp_devices > 1 a step needs
+        # one batch per device, and an epoch's batch count need not divide
+        # evenly — the remainder joins the next epoch's first group instead
+        # of being silently dropped (up to dp_devices-1 batches per epoch).
+        shard_buf = []
         with InterruptHandler() as h:
             for epoch in range(start_epoch, epochs):
                 it = Prefetcher(lambda: batch_iterator(
                     self.dataset, self.spec, self.batch_scenes, self.rng,
                     self.latent_lookup))
-                shard_buf = []
                 for batch in it:
                     if self.dp_devices > 1:
                         # accumulate one independent flat batch per device
@@ -237,6 +247,13 @@ class Trainer:
                     # async: training resumes while Orbax writes; the final
                     # save below (and any restore) waits for it
                     self.save(state, epoch, wait=False)
+            if shard_buf:
+                # only the FINAL partial group (end of training) is dropped,
+                # and loudly — never a silent per-epoch loss
+                self._dropped_batches += len(shard_buf)
+                print(f"[trainer] dropping {len(shard_buf)} trailing "
+                      f"batch(es) smaller than one dp group "
+                      f"(dp_devices={self.dp_devices}) at end of training")
             if final_save:
                 self.save(state, int(state.epoch))
         dt = time.time() - t_start
@@ -259,7 +276,9 @@ class Trainer:
         if self.zero1 and self.dp_devices > 1:
             from ..parallel.zero import Zero1State, init_zero1_state
             if not isinstance(state.opt_state, Zero1State):
-                state = init_zero1_state(state, self._get_mesh())
+                accum = int(getattr(self.sgdiff.cfg, "grad_accum", 1) or 1)
+                state = init_zero1_state(state, self._get_mesh(),
+                                         grad_accum=accum)
         return state
 
     def save(self, state: TrainState, epoch: int, wait: bool = True):

@@ -26,18 +26,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_requests(classes, rel_dict, n_requests: int, rng):
+def make_requests(classes, rel_dict, n_requests: int, rng,
+                  mixed: bool = False):
     """Plain request dicts over real vocabulary entries.
 
-    All requests carry the SAME object count (5 + the implicit _scene_ node =
-    6 nodes, so 8-scene micro-batches land on one 48-row compiled sampler
-    variant — varied counts would trigger recompiles mid-timing)."""
+    Fixed-size mode keeps every request at 5 objects (6 nodes with _scene_)
+    so 8-scene micro-batches land on one compiled variant.  mixed=True draws
+    2-8 objects per request — the online-arrival pattern that churns sampler
+    variants; with service warmup + row_buckets it must NOT stall."""
     names = [c for c in classes
              if c not in ("_scene_", "floor") and not c.startswith("_")]
     preds = [p for p in rel_dict]
     reqs = []
     for i in range(n_requests):
-        k = 5
+        k = int(rng.integers(2, 9)) if mixed else 5
         objs = [names[int(rng.integers(len(names)))] for _ in range(k)]
         triples = []
         for s in range(k - 1):
@@ -46,11 +48,55 @@ def make_requests(classes, rel_dict, n_requests: int, rng):
     return reqs
 
 
+def concurrent_latency(svc, reqs, window_ms: float, n_clients: int):
+    """N concurrent clients each submitting single requests through the
+    MicroBatcher — the coalescing path's actual value proposition.  Returns
+    (p50_s, p99_s, req_per_sec, batcher_stats)."""
+    import threading
+
+    from echoscene_tpu.serve.batcher import MicroBatcher
+
+    mb = MicroBatcher(svc, max_wait_ms=window_ms)
+    latencies = []
+    lock = threading.Lock()
+    chunks = [reqs[i::n_clients] for i in range(n_clients)]
+
+    def client(my_reqs):
+        import time as _t
+        for r in my_reqs:
+            t0 = _t.perf_counter()
+            (res,) = mb.generate([r], timeout=600.0)
+            dt = _t.perf_counter() - t0
+            assert res is not None
+            with lock:
+                latencies.append(dt)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(c,)) for c in chunks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    stats = mb.stats()
+    mb.close()
+    import numpy as np
+    lat = np.sort(np.asarray(latencies))
+    return (float(np.percentile(lat, 50)), float(np.percentile(lat, 99)),
+            len(reqs) / wall, stats)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--n_requests", type=int, default=16)
     p.add_argument("--protocol", action="store_true",
                    help="time the protocol chains instead of the fast profile")
+    p.add_argument("--concurrent", type=int, default=0,
+                   help="run the concurrent-clients latency bench with this "
+                        "many client threads (p50/p99 vs --windows), "
+                        "mixed-size requests, warmed row-bucket service")
+    p.add_argument("--windows", default="0,10,50",
+                   help="comma list of --batch_window_ms values to sweep")
     args = p.parse_args(argv)
 
     import jax
@@ -78,6 +124,36 @@ def main(argv=None):
                        diffusion_bs=8, with_sdf=False)
     rng = np.random.default_rng(0)
     reqs = make_requests(ds.classes, ds.rel_dict, args.n_requests, rng)
+
+    if args.concurrent:
+        # concurrent singles through the MicroBatcher, mixed sizes, warmed
+        # row-bucket ladder (VERDICT r4 next #6: the window's value
+        # proposition needs a recorded latency/throughput curve)
+        svc = GenerationService(sg, state, spec, ds.box_stats, ds.classes,
+                                ds.rel_dict, gen_shape=True,
+                                result_format="arrays",
+                                row_buckets=(16, 32, 48))
+        t0 = time.perf_counter()
+        nvar = svc.warmup(manips=(False,), verbose=True)
+        warm_s = time.perf_counter() - t0
+        print(f"warmup: {nvar} variants in {warm_s:.1f}s", flush=True)
+        mixed = make_requests(ds.classes, ds.rel_dict, args.n_requests, rng,
+                              mixed=True)
+        svc.generate(mixed[:4])          # execute-path warm (buffers, CLIP)
+        out = {"warmup_s": round(warm_s, 1), "variants": nvar}
+        for w in [float(x) for x in args.windows.split(",") if x]:
+            p50, p99, rps, stats = concurrent_latency(
+                svc, mixed, w, n_clients=args.concurrent)
+            tag = f"w{int(w)}"
+            out[f"p50_s_{tag}"] = round(p50, 3)
+            out[f"p99_s_{tag}"] = round(p99, 3)
+            out[f"req_per_sec_{tag}"] = round(rps, 3)
+            out[f"mean_batch_{tag}"] = round(stats["mean_batch_size"], 2)
+            print(f"[window {w}ms] p50 {p50:.2f}s p99 {p99:.2f}s "
+                  f"{rps:.2f} req/s mean_batch "
+                  f"{stats['mean_batch_size']:.2f}", flush=True)
+        print(json.dumps(out))
+        return
 
     out = {}
     for mode, fmt in (("sdfs", "json"), ("sdfs", "arrays"),

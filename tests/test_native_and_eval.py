@@ -199,3 +199,39 @@ def test_consistency_clip_option(tmp_path):
     assert by_cat["table"] > 1e-4          # different shapes -> positive
     agg = aggregate_consistency(clip_results)
     assert "total" in agg
+
+
+def test_numpy_marching_tets_matches_cpp():
+    """The pure-NumPy fallback emits the SAME welded mesh as the C++ path
+    (identical vertex set, identical triangle set) — ADVICE r4: the fallback
+    must uphold the welded-mesh invariants the tests assert elsewhere."""
+    if not native.available():
+        pytest.skip("native lib unavailable; nothing to compare against")
+    res = 21
+    g = np.linspace(-1, 1, res, dtype=np.float32)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    # non-symmetric blob so orientation bugs can't cancel
+    sdf = (np.sqrt((X - 0.1) ** 2 + 1.3 * Y ** 2 + Z ** 2) - 0.55
+           + 0.08 * np.sin(4 * X)).astype(np.float32)
+
+    v_c, t_c = native.marching_cubes(sdf)
+    v_n, t_n = native._marching_tetrahedra_numpy(sdf, 0.0)
+    assert v_n.shape == v_c.shape and t_n.shape == t_c.shape
+    np.testing.assert_allclose(v_c[np.lexsort(v_c.T)],
+                               v_n[np.lexsort(v_n.T)], atol=1e-6)
+
+    def tri_set(v, t):
+        p = np.sort(v[t].reshape(len(t), -1).round(5), axis=-1)
+        return set(map(tuple, p.tolist()))
+
+    assert tri_set(v_c, t_c) == tri_set(v_n, t_n)
+    # welded: vertices shared across triangles
+    assert len(v_n) < 3 * len(t_n)
+
+
+def test_marching_cubes_res_guard():
+    """res beyond the 32-bit lattice-id space must error loudly, not weld
+    unrelated vertices (ADVICE r4)."""
+    with pytest.raises(ValueError, match="1625"):
+        native._marching_tetrahedra_numpy(np.zeros((2048, 1, 1), np.float32),
+                                          0.0)

@@ -277,3 +277,74 @@ def test_dp_serving_two_devices(service):
     with pytest.raises(ValueError):
         GenerationService(svc.sg, svc.state, svc.spec, svc.stats, svc.classes,
                           svc.rel_dict, dp_devices=512)
+
+
+def test_warmup_precompiles_no_request_compiles(service):
+    """After warmup with a row-bucket ladder, mixed-size requests never add a
+    compiled variant (the cold-compile-inside-a-request cliff is gone)."""
+    svc, ds = service
+    warm = GenerationService(svc.sg, svc.state, svc.spec, svc.stats,
+                             svc.classes, svc.rel_dict, gen_shape=True,
+                             row_buckets=(4, 8))
+    n = warm.warmup(manips=(False,), verbose=False)
+    assert n >= 2
+    before = set(warm.compiled_variants())
+    # mixed sizes: 1-object, 2-object, 3-object requests hit different raw
+    # row counts but pin to the warmed buckets
+    names = [n_ for n_ in ds.classes if n_ != "_scene_"][:3]
+    preds = list(ds.rel_dict)
+    reqs = [{"objects": names[:k], "id": f"m{k}",
+             "triples": [[0, preds[0], k - 1]] if k > 1 else []}
+            for k in (1, 2, 3)]
+    out = warm.generate(reqs)
+    assert len(out) == 3 and all(r is not None for r in out)
+    assert set(warm.compiled_variants()) == before, \
+        "a request triggered a compile after warmup"
+
+
+def test_row_buckets_pin_rows(service):
+    svc, ds = service
+    bucketed = GenerationService(svc.sg, svc.state, svc.spec, svc.stats,
+                                 svc.classes, svc.rel_dict, gen_shape=True,
+                                 row_buckets=(4, 8))
+    from echoscene_tpu.data.collate import collate_scenes
+    ex = request_to_example(_request(ds), bucketed.classes, bucketed.rel_dict,
+                            bucketed.clip)
+    b = collate_scenes([ex], bucketed.spec)
+    # 4 real nodes -> bucket 4; an unbucketed service gives the same here but
+    # 5-7 nodes would pin to 8 instead of 8 (multiple-of-4 coincide) — check
+    # the cap path: a raw count above the top bucket pins to max_nodes
+    assert bucketed._rows(b) in (4, 8, bucketed.spec.max_nodes)
+    assert bucketed.row_buckets[-1] == bucketed.spec.max_nodes
+
+
+def test_microbatcher_close_strands_no_futures(service):
+    """close() must fail queued-but-unserved futures instead of hanging
+    clients (ADVICE r4: stranded futures + unbounded result waits)."""
+    from echoscene_tpu.serve.batcher import MicroBatcher
+
+    class SlowService:
+        spec = type("S", (), {"max_scenes": 4})()
+
+        def generate(self, reqs):
+            import time
+            time.sleep(0.3)
+            return [{"id": r.get("id")} for r in reqs]
+
+    mb = MicroBatcher(SlowService(), max_wait_ms=5.0)
+    f1 = mb.submit({"id": "a"})          # picked up by the worker
+    import time
+    time.sleep(0.05)                     # let the worker enter generate()
+    f2 = mb.submit({"id": "b"})          # queued behind the in-flight batch
+    mb.close(timeout=5.0)
+    # the in-flight request finishes; anything still queued fails fast
+    assert f1.result(timeout=5.0)["id"] == "a"
+    done2 = f2.done()
+    if done2 and f2.exception() is None:
+        assert f2.result()["id"] == "b"  # worker drained it before exiting
+    else:
+        with pytest.raises(RuntimeError):
+            f2.result(timeout=1.0)
+    # post-close submissions never hang either
+    with pytest.raises(RuntimeError):
+        mb.submit({"id": "c"})

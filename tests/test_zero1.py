@@ -213,3 +213,155 @@ def test_zero1_full_step_matches_dp():
                     jax.tree_util.tree_leaves(state.params["vqvae"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(z_state.step) == 2 and int(z_state.opt_state.count) == 2
+
+
+def _full_model_fixture(grad_accum=1, seed=5):
+    """Tiny full model + one collated batch (shared by the slow tests)."""
+    from echoscene_tpu.data.fake import make_fake_dataset
+    from echoscene_tpu.data.sgfront import SGFrontDataset
+    from echoscene_tpu.data.collate import collate_scenes, CollateSpec
+    from echoscene_tpu.models.sgdiff import SGDiff
+    from echoscene_tpu.models.config import tiny_config
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        make_fake_dataset(root, num_scenes=4, min_objs=3, max_objs=4,
+                          sdf_res=16, with_sdf=True)
+        ds = SGFrontDataset(root, use_sdf=True, with_changes=True, seed=seed,
+                            sdf_res=16)
+        cfg = tiny_config()
+        cfg.grad_accum = grad_accum
+        spec = CollateSpec(max_nodes=cfg.max_nodes,
+                           max_triples=cfg.max_triples,
+                           max_scenes=cfg.batch_scenes,
+                           diffusion_bs=cfg.diffusion_bs, with_sdf=True,
+                           sdf_res=16)
+        batch = collate_scenes([ds[i] for i in range(3)], spec,
+                               sdf_loader=ds.load_sdf)
+        sg = SGDiff(cfg, num_objs=len(ds.classes),
+                    num_preds=len(ds.pred_names))
+        state = sg.init(jax.random.PRNGKey(0), batch)
+    return sg, state, batch
+
+
+def _assert_params_close(got, want, atol=2e-5):
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(got)[0],
+            jax.tree_util.tree_flatten_with_path(want)[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=atol,
+            err_msg=str([getattr(k, "key", "") for k in pa]))
+
+
+@pytest.mark.slow
+def test_zero1_grad_accum_matches_dp_multisteps():
+    """grad_accum=2 on the zero1 flat path == the dp MultiSteps path:
+    4 microbatch calls (2 optimizer steps), identical params after."""
+    from echoscene_tpu.parallel.dp import build_dp_train_step
+    from echoscene_tpu.parallel.mesh import stack_shards
+
+    sg, state, batch = _full_model_fixture(grad_accum=2)
+    n_dev = 4
+    mesh = make_mesh((n_dev,), ("data",), jax.devices()[:n_dev])
+    stacked = stack_shards([jax.device_get(batch)] * n_dev)
+
+    dp_state = state
+    dp_step = build_dp_train_step(sg, mesh)(dp_state)
+    z_state = init_zero1_state(state, mesh, grad_accum=2)
+    assert z_state.opt_state.acc.size > 0
+    z_step = build_zero1_train_step(sg, mesh)(z_state)
+
+    for i in range(4):
+        rngs = jnp.stack([jax.random.PRNGKey(100 + i)] * n_dev)
+        dp_state, _ = dp_step(dp_state, stacked, rngs)
+        z_state, _ = z_step(z_state, stacked, rngs)
+
+    _assert_params_close(z_state.params, dp_state.params)
+    # 4 microbatches -> 2 optimizer steps; accumulator drained
+    assert int(z_state.opt_state.count) == 2
+    assert int(z_state.opt_state.mini_step) == 0
+    np.testing.assert_array_equal(np.asarray(z_state.opt_state.acc), 0.0)
+    # mid-accumulation the params must NOT move
+    z2 = init_zero1_state(state, mesh, grad_accum=2)
+    z2_step = build_zero1_train_step(sg, mesh)(z2)
+    z2, _ = z2_step(z2, stacked, jnp.stack([jax.random.PRNGKey(0)] * n_dev))
+    _assert_params_close(z2.params, state.params, atol=0)
+    assert int(z2.opt_state.mini_step) == 1
+
+
+@pytest.mark.slow
+def test_zero1_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """zero1: 2 steps -> save -> restore (via Trainer.load's _maybe_zero1
+    template path) -> 2 more == 4 uninterrupted steps (VERDICT r4 next #3a)."""
+    from echoscene_tpu.parallel.mesh import stack_shards
+    from echoscene_tpu.train.checkpoint import save_checkpoint
+    from echoscene_tpu.train.trainer import Trainer
+
+    sg, state, batch = _full_model_fixture()
+    n_dev = 4
+    mesh = make_mesh((n_dev,), ("data",), jax.devices()[:n_dev])
+    stacked = stack_shards([jax.device_get(batch)] * n_dev)
+    keys = [jnp.stack([jax.random.PRNGKey(50 + i)] * n_dev) for i in range(4)]
+
+    z0 = init_zero1_state(state, mesh)
+    step = build_zero1_train_step(sg, mesh)(z0)
+
+    # uninterrupted run
+    ref = z0
+    for k in keys:
+        ref, _ = step(ref, stacked, k)
+
+    # interrupted: 2 steps, save, restore through the Trainer path, 2 more
+    half = z0
+    for k in keys[:2]:
+        half, _ = step(half, stacked, k)
+    exp = str(tmp_path / "exp")
+    trainer = Trainer.__new__(Trainer)       # avoid ctor IO; wire the fields
+    trainer.sgdiff = sg
+    trainer.zero1 = True
+    trainer.dp_devices = n_dev
+    trainer._mesh = mesh
+    trainer.exp_dir = exp
+    import os
+    os.makedirs(os.path.join(exp, "checkpoint"), exist_ok=True)
+    save_checkpoint(os.path.join(exp, "checkpoint", "model0"), half)
+    resumed = trainer.load(state, 0)         # fresh optax template in
+    from echoscene_tpu.parallel.zero import Zero1State
+    assert isinstance(resumed.opt_state, Zero1State)
+    assert resumed.opt_state.mu.sharding.spec == P("data")
+    for k in keys[2:]:
+        resumed, _ = step(resumed, stacked, k)
+
+    _assert_params_close(resumed.params, ref.params, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(resumed.opt_state.mu),
+                               np.asarray(ref.opt_state.mu), atol=1e-7)
+    assert int(resumed.step) == int(ref.step) == 4
+
+
+@pytest.mark.slow
+def test_restore_for_inference_loads_zero1_checkpoint(tmp_path):
+    """A --zero1 checkpoint (sharded Zero1State opt) restores into the
+    replicated optax template via the params-only inference path
+    (ADVICE r4 medium: eval/serve restores must not depend on how the
+    run was optimized)."""
+    from echoscene_tpu.parallel.mesh import stack_shards
+    from echoscene_tpu.train.checkpoint import (save_checkpoint,
+                                                restore_for_inference)
+
+    sg, state, batch = _full_model_fixture()
+    n_dev = 4
+    mesh = make_mesh((n_dev,), ("data",), jax.devices()[:n_dev])
+    stacked = stack_shards([jax.device_get(batch)] * n_dev)
+
+    z = init_zero1_state(state, mesh)
+    step = build_zero1_train_step(sg, mesh)(z)
+    z, _ = step(z, stacked, jnp.stack([jax.random.PRNGKey(9)] * n_dev))
+    path = str(tmp_path / "model3")
+    save_checkpoint(path, z)
+
+    got = restore_for_inference(path, state)   # optax-template state
+    _assert_params_close(got.params, z.params, atol=0)
+    assert int(got.step) == 1
+    # opt_state keeps the template's (unused at inference)
+    assert jax.tree_util.tree_structure(got.opt_state) \
+        == jax.tree_util.tree_structure(state.opt_state)
