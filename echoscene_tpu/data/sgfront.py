@@ -384,20 +384,27 @@ class SGFrontDataset:
             return np.zeros((r, r, r, 1), np.float32)
         cache = getattr(self, "_sdf_cache", None)
         if cache is None:
+            import threading
             from collections import OrderedDict
             cache = self._sdf_cache = OrderedDict()
             self._sdf_cache_max = 4096
-        hit = cache.get(path)
-        if hit is not None:
-            cache.move_to_end(path)
-            return hit
+            self._sdf_cache_lock = threading.Lock()
+        # lock the LRU bookkeeping only — collate reads grids from a thread
+        # pool (data/collate._sdf_read_pool) and the h5/OS read below runs
+        # outside the lock so IO still overlaps
+        with self._sdf_cache_lock:
+            hit = cache.get(path)
+            if hit is not None:
+                cache.move_to_end(path)
+                return hit
         if not os.path.exists(path):
             return np.zeros((r, r, r, 1), np.float32)
         import h5py
         with h5py.File(path, "r") as f:
             sdf = np.asarray(f["pc_sdf_sample"][:], np.float32)
         sdf = np.clip(sdf.reshape(r, r, r, 1), -0.2, 0.2)
-        cache[path] = sdf
-        if len(cache) > self._sdf_cache_max:
-            cache.popitem(last=False)
+        with self._sdf_cache_lock:
+            cache[path] = sdf
+            if len(cache) > self._sdf_cache_max:
+                cache.popitem(last=False)
         return sdf

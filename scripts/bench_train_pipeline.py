@@ -40,6 +40,10 @@ def main(argv=None):
                    help="echo 3 > /proc/sys/vm/drop_caches before each "
                         "timed arm (cold-IO measurement; needs root)")
     p.add_argument("--skip_latent", action="store_true")
+    p.add_argument("--skip_ckpt", action="store_true",
+                   help="skip the checkpoint-pause probe (it costs ~6-10 "
+                        "min: a sync save of the 2.4 GB state over the "
+                        "tunnel)")
     args = p.parse_args(argv)
 
     import jax
@@ -121,15 +125,19 @@ def main(argv=None):
         t0 = time.perf_counter()
         state = trainer.train(state, epochs=10 ** 6,
                               max_steps=args.steps, final_save=False)
-        jax.block_until_ready(state.params)
+        # tunnel timing trap: block_until_ready can return early — force a
+        # REAL device-to-host readback of the final params inside the timing
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        acc = float(np.asarray(jax.device_get(leaf)).sum())
         dt = time.perf_counter() - t0
+        assert acc == acc
         steps = int(state.step) - n0
         sps = steps * 8 / dt
         out[f"pipeline_sps_{arm}"] = round(sps, 2)
         print(f"[{arm}] {steps} steps in {dt:.1f}s = {sps:.2f} scenes/sec "
               f"(in-scan step-only reference: 44.6)", flush=True)
 
-        if arm == "sdf":
+        if arm == "sdf" and not args.skip_ckpt:
             from echoscene_tpu.train.checkpoint import (save_checkpoint,
                                                         wait_for_checkpoints)
             t0 = time.perf_counter()
