@@ -131,10 +131,14 @@ def build_parser():
                    help="spread micro-batches over this many chips on a "
                         "('data',) mesh (sampling is embarrassingly "
                         "parallel over scenes)")
-    p.add_argument("--batch_window_ms", type=float, default=0.0,
+    p.add_argument("--batch_window_ms", type=float, default=10.0,
                    help="coalesce concurrent requests into shared sampler "
                         "dispatches, waiting up to this long for companions "
-                        "(serve/batcher.py); 0 = serve one POST at a time")
+                        "(serve/batcher.py); 0 = serve one POST at a time. "
+                        "Default 10: measured on-chip (BASELINE r5) a 10 ms "
+                        "window LOWERS p50 latency 8.2->6.6 s AND raises "
+                        "throughput +31% under 8 concurrent clients; 50 ms "
+                        "adds nothing")
     p.add_argument("--row_buckets", default="16,32,48",
                    help="comma-separated shape-row ladder pinning the "
                         "compiled sampler variants (empty = every "
