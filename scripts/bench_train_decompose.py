@@ -56,8 +56,12 @@ def main(argv=None):
     peak = chip_peak_flops() or float("inf")
     k = args.k
 
-    def scan_timed(label, body, carry):
-        @functools.partial(jax.jit, donate_argnums=(0,))
+    def scan_timed(label, body, carry, donate=False):
+        # donate only the FINAL full-step stage (it must fit params+opt
+        # twice otherwise); fwd/fwd+bwd reuse state.params afterwards, so
+        # their carries must stay valid
+        @functools.partial(jax.jit,
+                           donate_argnums=(0,) if donate else ())
         def run(c, b, rngs):
             return jax.lax.scan(lambda cc, r: body(cc, b, r), c, rngs)
 
@@ -82,11 +86,13 @@ def main(argv=None):
 
     out = {}
 
-    # 1) forward only — carry a dummy float so donation has something
+    # 1) forward only — params CARRIED, never closed over (closure params
+    # become 2.4 GB of program literals and kill the remote compile)
     def fwd_body(c, b, rng):
-        loss, _ = sg.loss_fn(state.params, state.batch_stats, b, rng)
-        return c + 0.0 * loss, loss
-    ms, fl, mfu = scan_timed("fwd", fwd_body, jnp.zeros(()))
+        params = c
+        loss, _ = sg.loss_fn(params, state.batch_stats, b, rng)
+        return params, loss
+    ms, fl, mfu = scan_timed("fwd", fwd_body, state.params)
     out.update(fwd_ms=round(ms, 1), fwd_mfu=round(mfu, 3))
 
     # 2) fwd + bwd, no update (params carried, grads reduced to a scalar)
@@ -109,7 +115,8 @@ def main(argv=None):
         new_params = optax.apply_updates(params, updates)
         return (new_params, new_bs, new_opt), loss
     ms, fl, mfu = scan_timed(
-        "full", full_body, (state.params, state.batch_stats, state.opt_state))
+        "full", full_body, (state.params, state.batch_stats, state.opt_state),
+        donate=True)
     out.update(full_ms=round(ms, 1), full_mfu=round(mfu, 3),
                train_sps=round(args.scenes * 1e3 / ms, 2))
 
