@@ -254,12 +254,18 @@ class Trainer:
                 print(f"[trainer] dropping {len(shard_buf)} trailing "
                       f"batch(es) smaller than one dp group "
                       f"(dp_devices={self.dp_devices}) at end of training")
+            dt_steps = time.time() - t_start
             if final_save:
+                t_save = time.time()
                 self.save(state, int(state.epoch))
-        dt = time.time() - t_start
+                print(f"[trainer] final save took {time.time() - t_save:.1f}s "
+                      "(sync; periodic epoch saves are async)")
         if steps_done:
-            print(f"[trainer] {steps_done} steps in {dt:.1f}s "
-                  f"({steps_done / dt:.3f} steps/s)")
+            # steps-only rate: the first step includes the jit compile, and
+            # the final sync save is reported separately above — folding
+            # either into one number misled a round-5 at-scale run
+            print(f"[trainer] {steps_done} steps in {dt_steps:.1f}s "
+                  f"({steps_done / dt_steps:.3f} steps/s incl. compile)")
         return state
 
     def _get_mesh(self):

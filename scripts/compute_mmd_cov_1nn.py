@@ -62,7 +62,18 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--with_jsd", action="store_true")
+    p.add_argument("--device", default="cpu", choices=["cpu", "default"],
+                   help="metric CLIs default to the HOST (the reference "
+                        "computes eval metrics CPU-side too, and the chip "
+                        "may be busy training); 'default' uses the "
+                        "environment's jax backend")
     args = p.parse_args(argv)
+    if args.device == "cpu":
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     gen = collect_category_clouds(args.generated_dir, args.num_points,
                                   args.limit)

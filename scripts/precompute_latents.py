@@ -68,11 +68,18 @@ def main(argv=None):
     # the zero grid (floor/_scene_ nodes) has a nonzero latent too
     buf.append(np.zeros((ds.sdf_res,) * 3 + (1,), np.float32))
     keys.append("__zero__")
-    for pth in paths:
-        buf.append(ds.load_sdf(pth))
-        keys.append(pth)
-        if len(buf) == args.batch:
-            flush()
+    # threaded h5 reads overlap disk IO with the encode dispatches — the
+    # serial pass was read-bound (~0.31 s/file cold, BASELINE r5)
+    from echoscene_tpu.data.collate import _sdf_read_pool
+    pool = _sdf_read_pool()
+    CHUNK = 64          # bounded read-ahead: Executor.map submits everything
+    for start in range(0, len(paths), CHUNK):
+        part = paths[start:start + CHUNK]
+        for pth, grid in zip(part, pool.map(ds.load_sdf, part)):
+            buf.append(grid)
+            keys.append(pth)
+            if len(buf) == args.batch:
+                flush()
     flush()
 
     dest = args.out or os.path.join(args.dataset, "latent_cache.npz")

@@ -348,3 +348,21 @@ def test_microbatcher_close_strands_no_futures(service):
     # post-close submissions never hang either
     with pytest.raises(RuntimeError):
         mb.submit({"id": "c"})
+
+
+def test_dp_warmup_precompiles(service):
+    """warmup() on a dp service AOT-compiles the shard_map sampler ladder;
+    requests after warmup add no variants."""
+    svc, ds = service
+    dp_svc = GenerationService(svc.sg, svc.state, svc.spec, svc.stats,
+                               svc.classes, svc.rel_dict, clip=svc.clip,
+                               gen_shape=True, dp_devices=2,
+                               row_buckets=(8,))
+    n = dp_svc.warmup(manips=(False,), verbose=False)
+    assert n >= 1
+    before = set(dp_svc.compiled_variants())
+    assert before, "dp warmup compiled nothing"
+    reqs = [_request(ds, 500 + i) for i in range(3)]
+    results = dp_svc.generate(reqs)
+    assert len(results) == 3 and all(r is not None for r in results)
+    assert set(dp_svc.compiled_variants()) == before
